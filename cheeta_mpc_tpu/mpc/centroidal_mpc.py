@@ -1,0 +1,367 @@
+"""Centroidal MPC — the north-star workload, TPU-native.
+
+Re-creates, from scratch, the capability of the reference's CasADi/IPOPT
+centroidal MPC (``/root/reference/CentroidalMPC.{h,cpp}`` +
+``NonlinearMPC.h``): same NLP (dynamics, friction pyramids, footstep boxes,
+all 45 cost weights including the exponential CoM-z trust decay), same packed
+input layout as ``CentroidalMPC::UpdateMPC`` (CentroidalMPC.cpp:278-335), same
+outputs (per-leg foot-position and contact-force trajectories,
+CentroidalMPC.cpp:269-273).
+
+Instead of a symbolic NLP handed to a sparse interior-point solver (IPOPT +
+MUMPS/MA97), the problem is solved by SQP over the Riccati-structured
+interior-point QP solver — a single statically-shaped XLA program that can be
+``vmap``-ed over thousands of scenarios and ``pjit``-sharded over a TPU mesh.
+
+Formulation notes (math-preserving re-designs):
+- Forces enter as ``F = enable * u_F`` so swing-leg forces are identically
+  zero (replacing the reference's degenerate ``0 <= A F <= 0`` rows) and the
+  friction rows are simply masked off on swing nodes.
+- The force-rate cost (``casadi::MX::diff``) is made stage-separable by
+  augmenting the state with the previous effective force (see
+  models/centroidal.py).
+- The reference's CoM-z cost term is ``sumsqr(w_k * (z_k - d_k))`` with
+  ``w_k = (w2/2) e^{-k} + w2/2`` (CentroidalMPC.cpp:203-210) — i.e. the
+  *squared* weight multiplies the squared error; replicated exactly.
+- Tiny regularizers (1e-6) on foot velocities and masked force variables pin
+  coordinates the reference leaves free to IPOPT's internal regularization;
+  they are orders of magnitude below the 1e-3 GRF-match tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cheeta_mpc_tpu.core.types import (CostApprox, DynamicsLin, OcpQpData,
+                                       StageConstraint)
+from cheeta_mpc_tpu.models.centroidal import (GRAVITY, CentroidalParams,
+                                              centroidal_step, linearize_step,
+                                              pack_state, rollout,
+                                              unpack_input, unpack_state)
+from cheeta_mpc_tpu.solvers.scp import ScpSettings, solve_nonlinear_ocp
+
+
+class CentroidalMpcConfig(NamedTuple):
+    """Static + array configuration, mirroring the reference ctor arguments
+    (CentroidalMPC.cpp:13-32, CentoidMPCTest.cpp:11-34)."""
+
+    mass: float = 8.0
+    num_legs: int = 4
+    horizon: int = 6
+    dt: float = 0.01
+    # 45 weights, layout per CentoidMPCTest.cpp:19-33: com pos (3), com vel
+    # (3), angular momentum (3), then per-leg {foot pos, force, force rate}.
+    weights: Tuple[float, ...] = ()
+    mu: Tuple[float, ...] = (0.8, 0.8, 0.8, 0.8)
+    foot_step_lb: Tuple[float, float, float] = (-0.2, -0.2, -0.1)  # :30
+    foot_step_ub: Tuple[float, float, float] = (0.2, 0.2, 0.1)  # :31
+    force_max: float = 5000.0  # friction-row upper bound, CentroidalMPC.cpp:183
+    reg_eps: float = 1e-6  # foot-vel / masked-force regularizer (ours)
+    dtype: jnp.dtype = jnp.float32
+
+
+@struct.dataclass
+class CentroidalSolution:
+    """Outputs matching the reference's controller outputs
+    (CentroidalMPC.cpp:269-273) plus diagnostics."""
+
+    foot_pos: jnp.ndarray  # (num_legs, 3, N+1)
+    contact_force: jnp.ndarray  # (num_legs, 3, N)
+    com_pos: jnp.ndarray  # (3, N+1)
+    com_vel: jnp.ndarray  # (3, N+1)
+    ang_mom: jnp.ndarray  # (3, N+1)
+    x_traj: jnp.ndarray  # (N+1, nx) augmented-state iterate
+    u_traj: jnp.ndarray  # (N, nu)
+    merit: jnp.ndarray
+    qp_mu: jnp.ndarray
+
+
+class _Refs(NamedTuple):
+    """Unpacked per-solve reference data (all arrays node-major)."""
+
+    x0: jnp.ndarray  # (nx,) augmented initial state
+    des_com_pos: jnp.ndarray  # (N+1, 3)
+    des_com_vel: jnp.ndarray  # (N+1, 3)
+    des_ang_mom: jnp.ndarray  # (N+1, 3)
+    des_foot_pos: jnp.ndarray  # (num_legs, N+1, 3)
+    des_force: jnp.ndarray  # (num_legs, N, 3)
+    enable: jnp.ndarray  # (N, num_legs) contact table
+
+
+def _unpack_reference_inputs(cfg: CentroidalMpcConfig, state, des_state,
+                             des_inputs) -> _Refs:
+    """Decode the reference's packed vectors (CentroidalMPC.cpp:278-335).
+
+    state:      [com_pos(3), com_vel(3), L(3), foot_pos(3*nl)]
+    des_state:  [des_com_pos(3*(N+1)), des_com_vel(...), des_L(...)]
+    des_inputs: per leg i at offset i*(4N+3):
+                [contact_enable(N), des_foot_pos(3*(N+1))]
+    Desired normal forces are derived from the contact table as
+    m*g / (#stance legs) per step (CentroidalMPC.cpp:326-335).
+    """
+    nl, N = cfg.num_legs, cfg.horizon
+    dt_ = cfg.dtype
+    state = jnp.asarray(state, dt_)
+    des_state = jnp.asarray(des_state, dt_)
+    des_inputs = jnp.asarray(des_inputs, dt_)
+
+    com_pos, com_vel, ang_mom = state[0:3], state[3:6], state[6:9]
+    foot_pos0 = state[9:9 + 3 * nl].reshape(nl, 3)
+
+    per_node = 3 * (N + 1)
+    des_com_pos = des_state[0:per_node].reshape(N + 1, 3)
+    des_com_vel = des_state[per_node:2 * per_node].reshape(N + 1, 3)
+    des_ang_mom = des_state[2 * per_node:3 * per_node].reshape(N + 1, 3)
+
+    leg_stride = 4 * N + 3
+    offs = jnp.arange(nl) * leg_stride
+    enable = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(des_inputs, (o,), (N,)))(offs)  # (nl,N)
+    des_foot_pos = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(des_inputs, (o + N,),
+                                        (3 * (N + 1),)))(offs)
+    des_foot_pos = des_foot_pos.reshape(nl, N + 1, 3)
+
+    stance_count = jnp.sum(enable, axis=0)  # (N,)
+    fz_des = cfg.mass * GRAVITY / jnp.maximum(stance_count, 1.0)
+    des_force = jnp.zeros((nl, N, 3), dt_)
+    des_force = des_force.at[:, :, 2].set(enable * fz_des[None, :])
+
+    # Initial F_prev: the reference's diff() starts at F_0 (no rate cost on
+    # the first step), so F_prev_0 is irrelevant; use the desired force so the
+    # augmented state is well-scaled.
+    x0 = pack_state(com_pos, com_vel, ang_mom, foot_pos0, des_force[:, 0, :])
+    return _Refs(x0=x0, des_com_pos=des_com_pos, des_com_vel=des_com_vel,
+                 des_ang_mom=des_ang_mom, des_foot_pos=des_foot_pos,
+                 des_force=des_force, enable=enable.T)
+
+
+def _stage_cost(cfg: CentroidalMpcConfig, params: CentroidalParams, k, x, u,
+                refs: _Refs, terminal: bool):
+    """Cost of node k. For k < N includes input terms; node N is tracking only.
+
+    Exactly the reference objective (CentroidalMPC.cpp:203-232) mapped onto
+    the augmented state; see module docstring for the z-weight quirk.
+    """
+    w = jnp.asarray(cfg.weights, cfg.dtype)
+    nl = cfg.num_legs
+    com_pos, com_vel, ang_mom, foot_pos, f_prev = unpack_state(params, x)
+
+    dcp = com_pos - refs.des_com_pos[k]
+    dcv = com_vel - refs.des_com_vel[k]
+    dam = ang_mom - refs.des_ang_mom[k]
+    wz = (w[2] / 2) * jnp.exp(-k.astype(cfg.dtype)) + w[2] / 2
+    c = (w[0] * dcp[0] ** 2 + w[1] * dcp[1] ** 2 + (wz * dcp[2]) ** 2
+         + w[3] * dcv[0] ** 2 + w[4] * dcv[1] ** 2 + w[5] * dcv[2] ** 2
+         + w[6] * dam[0] ** 2 + w[7] * dam[1] ** 2 + w[8] * dam[2] ** 2)
+
+    w_fp = w[9:9 + 3 * nl].reshape(nl, 3)
+    dfp = foot_pos - refs.des_foot_pos[:, k, :]
+    c += jnp.sum(w_fp * dfp ** 2)
+
+    if not terminal:
+        e = refs.enable[k][:, None]  # (nl, 1)
+        foot_vel, u_f = unpack_input(params, u)
+        f_eff = e * u_f
+        w_f = w[9 + 3 * nl:9 + 6 * nl].reshape(nl, 3)
+        c += jnp.sum(w_f * (f_eff - refs.des_force[:, k, :]) ** 2)
+        # Force-rate term: at stage k >= 1, (F_k - F_{k-1}) with F_{k-1}
+        # stored in the augmented state.
+        w_r = w[9 + 6 * nl:9 + 9 * nl].reshape(nl, 3)
+        rate = f_eff - f_prev
+        c += jnp.where(k > 0, jnp.sum(w_r * rate ** 2), 0.0)
+        # Regularizers (ours; pin coordinates the reference leaves to IPOPT).
+        c += cfg.reg_eps * (jnp.sum(foot_vel ** 2)
+                            + jnp.sum((1.0 - e) * u_f ** 2))
+    return c
+
+
+def _friction_pyramid(mu, dtype):
+    """5x3 pyramid rows {(-1,0,mu),(1,0,mu),(0,-1,mu),(0,1,mu),(0,0,1)}
+    (CentroidalMPC.cpp:186-190)."""
+    return jnp.array([[-1.0, 0.0, mu], [1.0, 0.0, mu], [0.0, -1.0, mu],
+                      [0.0, 1.0, mu], [0.0, 0.0, 1.0]], dtype)
+
+
+def _build_constraints(cfg: CentroidalMpcConfig, params: CentroidalParams,
+                       refs: _Refs, x_traj, u_traj) -> StageConstraint:
+    """Stage constraints in deviation coordinates around the iterate.
+
+    Row layout per node (ng = 5*nl + 3*nl):
+      [0, 5nl)       friction pyramid rows, leg-major (masked by enable;
+                     nodes 0..N-1 only)
+      [5nl, 5nl+3nl) footstep box rows (nodes 1..N; reference applies the
+                     box to foot positions at nodes 1..N, CentroidalMPC.cpp:
+                     196-198)
+    """
+    nl, N = cfg.num_legs, cfg.horizon
+    dt_ = cfg.dtype
+    nx, nu = params.nx, params.nu
+    ng = 8 * nl
+
+    C = jnp.zeros((N + 1, ng, nx), dt_)
+    D = jnp.zeros((N + 1, ng, nu), dt_)
+    lg = jnp.zeros((N + 1, ng), dt_)
+    ug = jnp.zeros((N + 1, ng), dt_)
+    mask = jnp.zeros((N + 1, ng), dt_)
+
+    # --- friction rows (input-only; D selects u_F of leg i) ---
+    mu = jnp.asarray(cfg.mu, dt_)
+    pyr = jax.vmap(lambda m: _friction_pyramid(m, dt_))(mu)  # (nl, 5, 3)
+    for i in range(nl):
+        rows = slice(5 * i, 5 * (i + 1))
+        cols = slice(3 * nl + 3 * i, 3 * nl + 3 * (i + 1))  # u_F_i in input
+        D = D.at[:N, rows, cols].set(jnp.broadcast_to(pyr[i], (N, 5, 3)))
+    force_ub = jnp.array([cfg.force_max] * 4 + [cfg.mass * GRAVITY * nl], dt_)
+    ug = ug.at[:N, 0:5 * nl].set(jnp.tile(force_ub, nl)[None, :])
+    # lower bounds are 0 (already); mask by contact enable per leg.
+    fr_mask = jnp.repeat(refs.enable, 5, axis=1)  # (N, 5nl)
+    mask = mask.at[:N, 0:5 * nl].set(fr_mask)
+
+    # --- footstep box rows (state-only; C selects foot_pos of leg i) ---
+    step_lb = jnp.asarray(cfg.foot_step_lb, dt_)
+    step_ub = jnp.asarray(cfg.foot_step_ub, dt_)
+    for i in range(nl):
+        rows = slice(5 * nl + 3 * i, 5 * nl + 3 * (i + 1))
+        cols = slice(9 + 3 * i, 9 + 3 * (i + 1))  # foot_pos_i in state
+        C = C.at[:, rows, cols].set(jnp.broadcast_to(jnp.eye(3, dtype=dt_),
+                                                     (N + 1, 3, 3)))
+        des_i = refs.des_foot_pos[i]  # (N+1, 3)
+        lg = lg.at[:, rows].set(step_lb[None, :] + des_i)
+        ug = ug.at[:, rows].set(step_ub[None, :] + des_i)
+    mask = mask.at[1:, 5 * nl:].set(1.0)  # nodes 1..N only
+
+    # Shift to deviation coordinates: lg - g(iterate) <= J dz <= ug - g.
+    du_pad = jnp.concatenate([u_traj, jnp.zeros_like(u_traj[:1])], axis=0)
+    g_iter = (jnp.einsum('nij,nj->ni', C, x_traj)
+              + jnp.einsum('nij,nj->ni', D, du_pad))
+    return StageConstraint(C=C, D=D, lg=lg - g_iter, ug=ug - g_iter, mask=mask)
+
+
+def build_centroidal_solver(cfg: CentroidalMpcConfig,
+                            scp: ScpSettings = ScpSettings()):
+    """Returns a jittable ``solve(state, des_state, des_inputs) ->
+    CentroidalSolution`` closure over the static config.
+
+    The returned function is pure; batch it with ``jax.vmap`` and shard with
+    ``jax.jit(..., in_shardings=...)`` over a mesh for multi-chip scaling.
+    """
+    params = CentroidalParams.create(cfg.mass, cfg.num_legs, cfg.dt,
+                                     jnp.asarray(cfg.mu, cfg.dtype))
+    params = jax.tree.map(lambda a: jnp.asarray(a, cfg.dtype), params)
+    N, nl = cfg.horizon, cfg.num_legs
+    nx, nu = params.nx, params.nu
+    ks = jnp.arange(N + 1)
+
+    def total_cost(x_traj, u_traj, refs):
+        stage = jax.vmap(
+            lambda k, x, u: _stage_cost(cfg, params, k, x, u, refs, False)
+        )(ks[:-1], x_traj[:-1], u_traj)
+        term = _stage_cost(cfg, params, ks[-1], x_traj[-1],
+                           jnp.zeros((nu,), cfg.dtype), refs, True)
+        return jnp.sum(stage) + term
+
+    def merit(x_traj, u_traj, refs):
+        # Exact-penalty merit: cost + rho * (defect L1 + constraint viol L1).
+        cost = total_cost(x_traj, u_traj, refs)
+        xn = jax.vmap(lambda x, u, e: centroidal_step(params, x, u, e))(
+            x_traj[:-1], u_traj, refs.enable)
+        defect = jnp.sum(jnp.abs(xn - x_traj[1:]))
+        con = _build_constraints(cfg, params, refs, x_traj, u_traj)
+        # In deviation coords around (x_traj, u_traj), dz = 0: violation is
+        # simply how far 0 lies outside [lg, ug].
+        viol = jnp.sum(con.mask * (jnp.maximum(con.lg, 0.0)
+                                   + jnp.maximum(-con.ug, 0.0)))
+        rho = jnp.asarray(1e3, cfg.dtype)
+        return cost + rho * (defect + viol)
+
+    def linearize(x_traj, u_traj, refs):
+        A, B, f = jax.vmap(
+            lambda x, u, e: linearize_step(params, x, u, e)
+        )(x_traj[:-1], u_traj, refs.enable)
+        dyn = DynamicsLin(A=A, B=B, b=f - x_traj[1:])
+
+        def stage_quad(k, x, u):
+            fn = lambda xu: _stage_cost(cfg, params, k, xu[:nx], xu[nx:],
+                                        refs, False)
+            xu = jnp.concatenate([x, u])
+            g = jax.grad(fn)(xu)
+            H = jax.hessian(fn)(xu)
+            return (H[:nx, :nx], g[:nx], H[nx:, nx:], g[nx:], H[nx:, :nx])
+
+        Qs, qs, Rs, rs, Ss = jax.vmap(stage_quad)(ks[:-1], x_traj[:-1], u_traj)
+        fnN = lambda x: _stage_cost(cfg, params, ks[-1], x,
+                                    jnp.zeros((nu,), cfg.dtype), refs, True)
+        QN = jax.hessian(fnN)(x_traj[-1])
+        qN = jax.grad(fnN)(x_traj[-1])
+        cost = CostApprox(Q=jnp.concatenate([Qs, QN[None]]),
+                          q=jnp.concatenate([qs, qN[None]]),
+                          R=Rs, r=rs, S=Ss)
+        con = _build_constraints(cfg, params, refs, x_traj, u_traj)
+        return OcpQpData(dyn=dyn, cost=cost, con=con,
+                         dx0=jnp.zeros((nx,), cfg.dtype))
+
+    def solve(state, des_state, des_inputs,
+              warm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        refs = _unpack_reference_inputs(cfg, state, des_state, des_inputs)
+        if warm is None:
+            foot_vel0 = jnp.zeros((N, 3 * nl), cfg.dtype)
+            u_f0 = refs.des_force.transpose(1, 0, 2).reshape(N, 3 * nl)
+            u_init = jnp.concatenate([foot_vel0, u_f0], axis=-1)
+            x_init = rollout(params, refs.x0, u_init, refs.enable)
+        else:
+            x_init, u_init = warm
+            x_init = x_init.at[0].set(refs.x0)
+
+        res = solve_nonlinear_ocp(
+            linearize=lambda x, u: linearize(x, u, refs),
+            merit=lambda x, u: merit(x, u, refs),
+            x_init=x_init, u_init=u_init, settings=scp)
+
+        _, _, _, foot_pos, _ = unpack_state(params, res.x)  # (N+1, nl, 3)
+        _, u_f = unpack_input(params, res.u)  # (N, nl, 3)
+        f_eff = refs.enable[:, :, None] * u_f
+        return CentroidalSolution(
+            foot_pos=foot_pos.transpose(1, 2, 0),
+            contact_force=f_eff.transpose(1, 2, 0),
+            com_pos=res.x[:, 0:3].T, com_vel=res.x[:, 3:6].T,
+            ang_mom=res.x[:, 6:9].T,
+            x_traj=res.x, u_traj=res.u, merit=res.merit, qp_mu=res.qp_mu)
+
+    return solve
+
+
+class CentroidalMPC:
+    """Object-style facade mirroring the reference class API
+    (``CentroidalMPC.h:15-33``: ctor -> SetupMPC -> UpdateMPC)."""
+
+    def __init__(self, mass, num_legs, predict_horizon, time_step, weights,
+                 mu, dtype=jnp.float32, scp: ScpSettings = ScpSettings()):
+        self.config = CentroidalMpcConfig(
+            mass=float(mass), num_legs=int(num_legs),
+            horizon=int(predict_horizon), dt=float(time_step),
+            weights=tuple(float(w) for w in weights),
+            mu=tuple(float(m) for m in mu), dtype=dtype)
+        self._scp = scp
+        self._solve = None
+
+    def setup_mpc(self):
+        """Builds and jits the solver (the reference compiles the Opti into a
+        single casadi::Function here, CentroidalMPC.cpp:275)."""
+        self._solve = jax.jit(build_centroidal_solver(self.config, self._scp))
+        return self
+
+    def update_mpc(self, state, des_state, des_inputs) -> CentroidalSolution:
+        """One MPC solve on reference-layout packed inputs.
+
+        Unlike the reference (which prints and returns an empty vector,
+        CentroidalMPC.cpp:369), this returns the full solution.
+        """
+        if self._solve is None:
+            raise RuntimeError("call setup_mpc() first")
+        return self._solve(jnp.asarray(state), jnp.asarray(des_state),
+                           jnp.asarray(des_inputs))
