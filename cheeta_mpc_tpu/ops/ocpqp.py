@@ -39,9 +39,9 @@ import jax.numpy as jnp
 
 from cheeta_mpc_tpu.core.types import (OcpQpData, OcpQpSolution, RiccatiGains,
                                        StageConstraint)
-from cheeta_mpc_tpu.ops.riccati import (RiccatiFactors, lqr_forward,
-                                        riccati_factorize, riccati_vector,
-                                        solve_lqr)
+from cheeta_mpc_tpu.ops.riccati import (RiccatiFactors, bmv, bmv_t,
+                                        lqr_forward, riccati_factorize,
+                                        riccati_vector, solve_lqr)
 
 
 class IpmSettings(NamedTuple):
@@ -73,16 +73,16 @@ class _IpmState(NamedTuple):
 def _constraint_values(con: StageConstraint, dx, du):
     """g_n = C_n dx_n + D_n du_n with du padded at the terminal node."""
     du_pad = jnp.concatenate([du, jnp.zeros_like(du[:1])], axis=0)
-    return (jnp.einsum('nij,nj->ni', con.C, dx)
-            + jnp.einsum('nij,nj->ni', con.D, du_pad))
+    return (bmv(con.C, dx)
+            + bmv(con.D, du_pad))
 
 
 def _grad_at(cost, dx, du):
     """Gradient of the quadratic objective at the current iterate."""
-    gq = cost.q + jnp.einsum('nij,nj->ni', cost.Q, dx)
-    gq = gq.at[:-1].add(jnp.einsum('kij,ki->kj', cost.S, du))
-    gr = (cost.r + jnp.einsum('kij,kj->ki', cost.R, du)
-          + jnp.einsum('kij,kj->ki', cost.S, dx[:-1]))
+    gq = cost.q + bmv(cost.Q, dx)
+    gq = gq.at[:-1].add(bmv_t(cost.S, du))
+    gr = (cost.r + bmv(cost.R, du)
+          + bmv(cost.S, dx[:-1]))
     return gq, gr
 
 
@@ -97,8 +97,8 @@ def _solve_newton(data: OcpQpData, state: _IpmState, factors: RiccatiFactors,
     lam_net = m * (state.lam_u - state.lam_l + beta)
 
     gq, gr = _grad_at(data.cost, state.dx, state.du)
-    qbar = gq + jnp.einsum('nij,ni->nj', con.C, lam_net)
-    rbar = gr + jnp.einsum('kij,ki->kj', con.D[:-1], lam_net[:-1])
+    qbar = gq + bmv_t(con.C, lam_net)
+    rbar = gr + bmv_t(con.D[:-1], lam_net[:-1])
 
     dyn_res = data.dyn.replace(b=r_dyn)
     kvec, p = riccati_vector(dyn_res, qbar, rbar, factors)
@@ -119,17 +119,16 @@ def _stationarity_norm(data: OcpQpData, state: _IpmState) -> jnp.ndarray:
     m = con.mask
     lam_net = m * (state.lam_u - state.lam_l)
     gq, gr = _grad_at(data.cost, state.dx, state.du)
-    qbar = gq + jnp.einsum('nij,ni->nj', con.C, lam_net)
-    stat_u = gr + jnp.einsum('kij,ki->kj', con.D[:-1], lam_net[:-1])
+    qbar = gq + bmv_t(con.C, lam_net)
+    stat_u = gr + bmv_t(con.D[:-1], lam_net[:-1])
 
     def body(lam_next, stage):
         A, qk = stage
-        return qk + A.T @ lam_next, lam_next
+        return qk + bmv_t(A, lam_next), lam_next
 
     _, lam_seq = jax.lax.scan(body, qbar[-1], (data.dyn.A, qbar[:-1]),
                               reverse=True)
-    return jnp.max(jnp.abs(stat_u + jnp.einsum('kij,ki->kj', data.dyn.B,
-                                               lam_seq)))
+    return jnp.max(jnp.abs(stat_u + bmv_t(data.dyn.B, lam_seq)))
 
 
 def _max_step(v, dv, mask, tau):
@@ -162,7 +161,7 @@ def solve_ocp_qp(data: OcpQpData,
         # Barrier conditioning caps achievable complementarity at roughly
         # sqrt(machine eps) x problem scale; beyond it directions degrade and
         # steps destabilize, so freeze there.
-        mu_tol = 1e-8 if dt == jnp.float64 else 1e-4
+        mu_tol = 1e-9 if dt == jnp.float64 else 1e-4
     w_max = settings.w_max if dt == jnp.float64 else min(settings.w_max, 1e6)
     settings = settings._replace(w_max=w_max)
 
@@ -180,12 +179,12 @@ def solve_ocp_qp(data: OcpQpData,
         state0 = warm
 
     def iteration(carry, _):
-        state, _, _ = carry
+        state, _, _, stat_old = carry
         g = _constraint_values(con, state.dx, state.du)
         r_l = g - state.s_l - con.lg
         r_u = g + state.s_u - con.ug
-        r_dyn = (jnp.einsum('kij,kj->ki', data.dyn.A, state.dx[:-1])
-                 + jnp.einsum('kij,kj->ki', data.dyn.B, state.du)
+        r_dyn = (bmv(data.dyn.A, state.dx[:-1])
+                 + bmv(data.dyn.B, state.du)
                  + data.dyn.b - state.dx[1:])
         r_x0 = data.dx0 - state.dx[0]
         mu = (jnp.sum(m * (state.s_l * state.lam_l + state.s_u * state.lam_u))
@@ -231,8 +230,10 @@ def solve_ocp_qp(data: OcpQpData,
             jnp.minimum(_max_step(state.lam_l, dl_l, m, settings.tau),
                         _max_step(state.lam_u, dl_u, m, settings.tau)))
         # Freeze converged elements: prevents post-convergence blow-up and
-        # makes divergent convergence across a vmap batch harmless.
-        a = a * (mu > mu_tol).astype(dt)
+        # makes divergent convergence across a vmap batch harmless. An
+        # element keeps iterating while stationarity is unresolved even at
+        # tiny mu — the step guard below keeps that regime safe.
+        a = a * ((mu > mu_tol) | (stat_old > 1e3 * mu_tol)).astype(dt)
 
         new = _IpmState(
             dx=state.dx + a * ddx,
@@ -245,33 +246,36 @@ def solve_ocp_qp(data: OcpQpData,
         # Stationarity guard: near convergence the barrier Hessian reaches
         # condition ~1/mu and a full step can corrupt the duals (or NaN in
         # f32). Reject steps that grow the KKT stationarity by >10x (NaN
-        # comparisons are false, so NaN steps are rejected too).
-        stat_old = _stationarity_norm(data, state)
+        # comparisons are false, so NaN steps are rejected too). The norm at
+        # the incoming state is carried from the previous iteration, so one
+        # evaluation per iteration suffices.
         stat_new = _stationarity_norm(data, new)
-        ok = stat_new <= 10.0 * stat_old + mu
+        ok = stat_new <= 10.0 * (stat_old + mu)
         new = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, state)
+        stat_carry = jnp.where(ok, stat_new, stat_old)
         gains = RiccatiGains(K=factors.K, k=kvec, P=factors.P, p=p)
-        return (new, gains, mu), None
+        return (new, gains, mu, stat_carry), None
 
     dummy_gains = RiccatiGains(
         K=jnp.zeros((data.dyn.horizon, data.dyn.nu, data.dyn.nx), dt),
         k=jnp.zeros((data.dyn.horizon, data.dyn.nu), dt),
         P=jnp.zeros((data.dyn.horizon + 1, data.dyn.nx, data.dyn.nx), dt),
         p=jnp.zeros((data.dyn.horizon + 1, data.dyn.nx), dt))
-    (state, gains, mu), _ = jax.lax.scan(
-        iteration, (state0, dummy_gains, jnp.asarray(jnp.inf, dt)), None,
-        length=settings.iters)
+    stat0 = _stationarity_norm(data, state0)
+    (state, gains, mu, _), _ = jax.lax.scan(
+        iteration, (state0, dummy_gains, jnp.asarray(jnp.inf, dt), stat0),
+        None, length=settings.iters)
 
     # Final diagnostics.
     g = _constraint_values(con, state.dx, state.du)
     viol = jnp.maximum(con.lg - g, g - con.ug)
     ineq_res = jnp.max(jnp.where(m > 0, viol, 0.0)) if con.ng > 0 else 0.0
-    r_dyn = (jnp.einsum('kij,kj->ki', data.dyn.A, state.dx[:-1])
-             + jnp.einsum('kij,kj->ki', data.dyn.B, state.du)
+    r_dyn = (bmv(data.dyn.A, state.dx[:-1])
+             + bmv(data.dyn.B, state.du)
              + data.dyn.b - state.dx[1:])
     gq, gr = _grad_at(data.cost, state.dx, state.du)
     lam_net = m * (state.lam_u - state.lam_l)
-    stat_u = gr + jnp.einsum('kij,ki->kj', con.D[:-1], lam_net[:-1])
+    stat_u = gr + bmv_t(con.D[:-1], lam_net[:-1])
     # State stationarity involves equality duals we do not store; report the
     # input-space stationarity (sufficient for convergence monitoring).
     stat_res = jnp.max(jnp.abs(stat_u + _costate_correction(data, state,
@@ -300,8 +304,8 @@ def kkt_residuals(data: OcpQpData, sol: OcpQpSolution):
         m = data.con.mask
         lam_net = m * (sol.lam_u - sol.lam_l)
         g = _constraint_values(data.con, dx, du)
-        qbar = gq + jnp.einsum('nij,ni->nj', data.con.C, lam_net)
-        stat_u = (gr + jnp.einsum('kij,ki->kj', data.con.D[:-1], lam_net[:-1]))
+        qbar = gq + bmv_t(data.con.C, lam_net)
+        stat_u = (gr + bmv_t(data.con.D[:-1], lam_net[:-1]))
     else:
         m = None
         qbar = gq
@@ -311,14 +315,13 @@ def kkt_residuals(data: OcpQpData, sol: OcpQpSolution):
     # then the free check.
     def body(lam_next, stage):
         A, qk = stage
-        return qk + A.T @ lam_next, lam_next
+        return qk + bmv_t(A, lam_next), lam_next
 
     _, lam_seq = jax.lax.scan(body, qbar[-1], (data.dyn.A, qbar[:-1]),
                               reverse=True)
-    stat = jnp.max(jnp.abs(stat_u + jnp.einsum('kij,ki->kj', data.dyn.B,
-                                               lam_seq)))
-    r_dyn = (jnp.einsum('kij,kj->ki', data.dyn.A, dx[:-1])
-             + jnp.einsum('kij,kj->ki', data.dyn.B, du)
+    stat = jnp.max(jnp.abs(stat_u + bmv_t(data.dyn.B, lam_seq)))
+    r_dyn = (bmv(data.dyn.A, dx[:-1])
+             + bmv(data.dyn.B, du)
              + data.dyn.b - dx[1:])
     out = {
         'stationarity': stat,
@@ -344,7 +347,7 @@ def kkt_residuals(data: OcpQpData, sol: OcpQpSolution):
 def _costate_correction(data: OcpQpData, state: _IpmState, lam_net):
     """B' * costate contribution to input stationarity, via adjoint scan."""
     gq, _ = _grad_at(data.cost, state.dx, state.du)
-    qbar = gq + jnp.einsum('nij,ni->nj', data.con.C, lam_net)
+    qbar = gq + bmv_t(data.con.C, lam_net)
 
     def body(lam_next, stage):
         A, qk = stage
@@ -353,4 +356,4 @@ def _costate_correction(data: OcpQpData, state: _IpmState, lam_net):
 
     _, lam_seq = jax.lax.scan(body, qbar[-1], (data.dyn.A, qbar[:-1]),
                               reverse=True)
-    return jnp.einsum('kij,ki->kj', data.dyn.B, lam_seq)
+    return bmv_t(data.dyn.B, lam_seq)

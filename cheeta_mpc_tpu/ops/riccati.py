@@ -4,8 +4,19 @@ The TPU-native replacement for HPIPM's Riccati-based OCP-QP factorization
 (reference: ``d_ocp_qp_ipm_solve`` with ``ric_alg 0`` called from
 ``ocs2_sqp/hpipm_catkin/src/HpipmInterface.cpp:281-301``; BLASFEO supplies the
 hand-tuned small-matrix kernels). Here each recursion is a ``jax.lax.scan``
-over stages with dense block algebra, designed to be ``vmap``-ed over large
-scenario batches — the batch axis, not the stage loop, is what fills the MXU.
+over stages designed to be ``vmap``-ed over large scenario batches.
+
+TPU performance notes (what makes this fast, measured on v5e):
+- Batched small matmuls pad to 128x128 MXU tiles (~58x FLOP waste for 33x33),
+  so the binding constraint is the *number* of batched matmuls, not FLOPs.
+  The whole stage update is packed into two products via M = [A B]:
+      T = [A B]' P_{k+1} [A B]  ->  A'PA, A'PB, B'PB in one bmm pair.
+- Mat-vec products (the vector/forward passes) are expressed as
+  multiply-reduce (VPU) rather than dot_general (MXU) — a padded 128x128 MXU
+  pass per (33,) matvec is pure waste.
+- The per-stage SPD inverse uses the recursive Schur-complement kernel in
+  ops/linalg_small.py and is stored explicitly, so both vector passes of the
+  predictor-corrector IPM are matmul-only against the same factors.
 
 The factorization (matrix) pass and the vector pass are split so an
 interior-point method can factor once per iteration and run two vector solves
@@ -14,19 +25,6 @@ interior-point method can factor once per iteration and run two vector solves
 Convention (k = 0..N-1, terminal N):
     min  sum_k 1/2 [dx;du]' [Q S'; S R] [dx;du] + [q;r]'[dx;du]  + terminal
     s.t. dx_{k+1} = A dx_k + B du_k + b_k,   dx_0 given.
-
-Backward recursion:
-    P_N = Q_N,  p_N = q_N
-    G_k = R_k + B' P_{k+1} B          (factor: L_G = chol(G))
-    H_k = S_k + B' P_{k+1} A
-    K_k = -G^{-1} H_k
-    P_k = Q_k + A' P_{k+1} A - K' G K
-    m_k = p_{k+1} + P_{k+1} b_k
-    k_k = -G^{-1} (r_k + B' m_k)
-    p_k = q_k + A' m_k + K_k' (r_k + B' m_k)
-
-Forward:
-    du_k = K_k dx_k + k_k,   dx_{k+1} = A dx_k + B du_k + b_k.
 """
 
 from __future__ import annotations
@@ -35,41 +33,61 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve
 
 from cheeta_mpc_tpu.core.types import (CostApprox, DynamicsLin, OcpQpData,
                                        OcpQpSolution, RiccatiGains, symmetrize)
+from cheeta_mpc_tpu.ops.linalg_small import spd_inverse
+
+
+def bmv(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched mat-vec on the VPU: (..., m, n) x (..., n) -> (..., m).
+
+    Written as multiply+reduce so XLA lowers it to fused elementwise work
+    instead of a padded MXU dot."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
+def bmv_t(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., m, n)' x (..., m) -> (..., n) without materializing M'."""
+    return jnp.sum(M * v[..., :, None], axis=-2)
 
 
 class RiccatiFactors(NamedTuple):
-    """Per-stage factorization products needed for vector solves."""
+    """Per-stage factorization products needed for vector solves.
+
+    ``Ginv`` is the explicit inverse of G_k = R_k + B'P_{k+1}B so both the
+    matrix and the vector passes are pure batched matmuls."""
 
     K: jnp.ndarray  # (N, nu, nx) feedback gains
-    L_G: jnp.ndarray  # (N, nu, nu) Cholesky factors of G_k (lower)
+    Ginv: jnp.ndarray  # (N, nu, nu) inverses of G_k
     P: jnp.ndarray  # (N+1, nx, nx) value-function Hessians
 
 
 def riccati_factorize(dyn: DynamicsLin, Q: jnp.ndarray, R: jnp.ndarray,
                       S: jnp.ndarray, reg: float = 0.0) -> RiccatiFactors:
     """Backward matrix pass. Q: (N+1,nx,nx), R: (N,nu,nu), S: (N,nu,nx)."""
+    nx = Q.shape[-1]
     nu = R.shape[-1]
     eye_u = jnp.eye(nu, dtype=R.dtype)
+    # Pack dynamics as M = [A B] (nx, nx+nu) once for the whole horizon.
+    M = jnp.concatenate([dyn.A, dyn.B], axis=-1)
 
     def body(P_next, stage):
-        A, B, Qk, Rk, Sk = stage
-        PB = P_next @ B  # (nx, nu)
-        G = Rk + B.T @ PB + reg * eye_u
-        H = Sk + PB.T @ A  # (nu, nx)  == S + B'P A
-        L_G = jnp.linalg.cholesky(symmetrize(G))
-        K = -cho_solve((L_G, True), H)
-        P = Qk + A.T @ (P_next @ A) + H.T @ K
+        Mk, Qk, Rk, Sk = stage
+        PM = P_next @ Mk  # (nx, nx+nu): P A | P B in one product
+        T = Mk.T @ PM  # (nx+nu, nx+nu): [A'PA A'PB; B'PA B'PB]
+        G = Rk + T[nx:, nx:] + reg * eye_u
+        H = Sk + T[nx:, :nx]  # S + B'PA
+        Ginv = spd_inverse(symmetrize(G))
+        K = -Ginv @ H
+        P = Qk + T[:nx, :nx] + H.T @ K
         P = symmetrize(P)
-        return P, (K, L_G, P)
+        return P, (K, Ginv, P)
 
-    _, (K, L_G, P_stages) = jax.lax.scan(
-        body, symmetrize(Q[-1]), (dyn.A, dyn.B, Q[:-1], R, S), reverse=True)
+    _, (K, Ginv, P_stages) = jax.lax.scan(
+        body, symmetrize(Q[-1]), (M, Q[:-1], R, S), reverse=True)
     P = jnp.concatenate([P_stages, symmetrize(Q[-1])[None]], axis=0)
-    return RiccatiFactors(K=K, L_G=L_G, P=P)
+    return RiccatiFactors(K=K, Ginv=Ginv, P=P)
 
 
 def riccati_vector(dyn: DynamicsLin, q: jnp.ndarray, r: jnp.ndarray,
@@ -80,16 +98,16 @@ def riccati_vector(dyn: DynamicsLin, q: jnp.ndarray, r: jnp.ndarray,
     """
 
     def body(p_next, stage):
-        A, B, b, qk, rk, K, L_G, P_next = stage
-        m = p_next + P_next @ b  # (nx,)
-        rhs = rk + B.T @ m  # (nu,)
-        k = -cho_solve((L_G, True), rhs)
-        p = qk + A.T @ m + K.T @ rhs
+        A, B, b, qk, rk, K, Ginv, P_next = stage
+        m = p_next + bmv(P_next, b)  # (nx,)
+        rhs = rk + bmv_t(B, m)  # (nu,)
+        k = -bmv(Ginv, rhs)
+        p = qk + bmv_t(A, m) + bmv_t(K, rhs)
         return p, (k, p)
 
     _, (k, p_stages) = jax.lax.scan(
         body, q[-1],
-        (dyn.A, dyn.B, dyn.b, q[:-1], r, factors.K, factors.L_G,
+        (dyn.A, dyn.B, dyn.b, q[:-1], r, factors.K, factors.Ginv,
          factors.P[1:]),
         reverse=True)
     p = jnp.concatenate([p_stages, q[-1][None]], axis=0)
@@ -102,8 +120,8 @@ def lqr_forward(dyn: DynamicsLin, K: jnp.ndarray, k: jnp.ndarray,
 
     def body(dx, stage):
         A, B, b, Kk, kk = stage
-        du = Kk @ dx + kk
-        dx_next = A @ dx + B @ du + b
+        du = bmv(Kk, dx) + kk
+        dx_next = bmv(A, dx) + bmv(B, du) + b
         return dx_next, (dx, du)
 
     dxN, (dx, du) = jax.lax.scan(body, dx0, (dyn.A, dyn.B, dyn.b, K, k))
