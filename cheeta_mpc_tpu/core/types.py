@@ -90,6 +90,28 @@ class StageConstraint:
 
 
 @struct.dataclass
+class StageEquality:
+    """Masked per-stage state-input equalities ``C dx + D du + e = 0``
+    (k = 0..N-1 only; the reference has no terminal equalities either).
+
+    The capability equivalent of the reference's projected equality
+    constraints (MultipleShootingTranscription.cpp:67-82): rows follow the
+    contact mode via ``mask`` (1 = active); inactive rows must be zeroed in
+    C/D/e and receive dual regularization inside the Riccati elimination so
+    all shapes stay static.
+    """
+
+    C: jnp.ndarray  # (N, nc, nx)
+    D: jnp.ndarray  # (N, nc, nu)
+    e: jnp.ndarray  # (N, nc)
+    mask: jnp.ndarray  # (N, nc)
+
+    @property
+    def nc(self) -> int:
+        return self.C.shape[-2]
+
+
+@struct.dataclass
 class OcpQpData:
     """A full OCP-structured QP: dynamics + cost + constraints + initial state.
 
@@ -102,6 +124,7 @@ class OcpQpData:
     cost: CostApprox
     con: Optional[StageConstraint]
     dx0: jnp.ndarray  # (nx,)
+    eq: Optional[StageEquality] = None
 
 
 @struct.dataclass

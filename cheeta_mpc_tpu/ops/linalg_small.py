@@ -83,6 +83,8 @@ def _inv_schur(G: jnp.ndarray) -> jnp.ndarray:
     column loops)."""
     n = G.shape[-1]
     if n <= 3:
+        if n == 0:
+            return G
         if n == 3:
             return _inv3(G)
         if n == 1:

@@ -38,10 +38,10 @@ import jax
 import jax.numpy as jnp
 
 from cheeta_mpc_tpu.core.types import (OcpQpData, OcpQpSolution, RiccatiGains,
-                                       StageConstraint)
-from cheeta_mpc_tpu.ops.riccati import (RiccatiFactors, bmv, bmv_t,
-                                        lqr_forward, riccati_factorize,
-                                        riccati_vector, solve_lqr)
+                                       StageConstraint, StageEquality)
+from cheeta_mpc_tpu.ops.riccati import (EqRiccatiFactors, bmv, bmv_t,
+                                        lqr_forward, riccati_factorize_eq,
+                                        riccati_vector_eq, solve_lqr)
 
 
 class IpmSettings(NamedTuple):
@@ -86,8 +86,9 @@ def _grad_at(cost, dx, du):
     return gq, gr
 
 
-def _solve_newton(data: OcpQpData, state: _IpmState, factors: RiccatiFactors,
-                  r_dyn, r_x0, r_l, r_u, r_cl, r_cu):
+def _solve_newton(data: OcpQpData, state: _IpmState,
+                  factors: EqRiccatiFactors, r_dyn, r_x0, r_eq,
+                  r_l, r_u, r_cl, r_cu):
     """One Newton direction for given complementarity residuals (vector pass)."""
     con = data.con
     m = con.mask
@@ -101,7 +102,8 @@ def _solve_newton(data: OcpQpData, state: _IpmState, factors: RiccatiFactors,
     rbar = gr + bmv_t(con.D[:-1], lam_net[:-1])
 
     dyn_res = data.dyn.replace(b=r_dyn)
-    kvec, p = riccati_vector(dyn_res, qbar, rbar, factors)
+    kvec, p = riccati_vector_eq(dyn_res, qbar, rbar, -r_eq, data.eq.C,
+                                factors)
     ddx, ddu = lqr_forward(dyn_res, factors.K, kvec, dx0=r_x0)
 
     dg = _constraint_values(con, ddx, ddu)
@@ -112,23 +114,39 @@ def _solve_newton(data: OcpQpData, state: _IpmState, factors: RiccatiFactors,
     return ddx, ddu, ds_l, ds_u, dlam_l, dlam_u, kvec, p
 
 
-def _stationarity_norm(data: OcpQpData, state: _IpmState) -> jnp.ndarray:
-    """Inf-norm of the input-space KKT stationarity at the iterate (costates
-    recovered by the adjoint recursion — the cheap full-KKT health metric)."""
+def _stationarity_norm(data: OcpQpData, state: _IpmState,
+                       LiD=None) -> jnp.ndarray:
+    """Inf-norm of the input-space KKT stationarity at the iterate.
+
+    Costates come from the adjoint recursion; per-stage equality duals are
+    the least-squares fit ``nu_k = -LiD_k (gr_k + B' mu_{k+1})`` with
+    ``LiD = (Deq Deq' + E)^{-1} Deq`` precomputed once (constraint matrices
+    do not change across IPM iterations). The costate update carries
+    ``Ceq' nu_k`` so equality-dual effects propagate exactly; with nc = 0
+    this reduces to the plain adjoint check."""
     con = data.con
+    eq = data.eq
     m = con.mask
     lam_net = m * (state.lam_u - state.lam_l)
     gq, gr = _grad_at(data.cost, state.dx, state.du)
     qbar = gq + bmv_t(con.C, lam_net)
-    stat_u = gr + bmv_t(con.D[:-1], lam_net[:-1])
+    gru = gr + bmv_t(con.D[:-1], lam_net[:-1])
+    if LiD is None:
+        LiD = jnp.zeros((data.dyn.horizon, 0, data.dyn.nu), gr.dtype)
 
-    def body(lam_next, stage):
-        A, qk = stage
-        return qk + bmv_t(A, lam_next), lam_next
+    def body(mu_next, stage):
+        A, B, qk, grk, Ceqk, Deqk, LiDk = stage
+        t_u = grk + bmv_t(B, mu_next)
+        nu = -bmv(LiDk, t_u)
+        stat_k = t_u + bmv_t(Deqk, nu)
+        mu_k = qk + bmv_t(A, mu_next) + bmv_t(Ceqk, nu)
+        return mu_k, stat_k
 
-    _, lam_seq = jax.lax.scan(body, qbar[-1], (data.dyn.A, qbar[:-1]),
-                              reverse=True)
-    return jnp.max(jnp.abs(stat_u + bmv_t(data.dyn.B, lam_seq)))
+    _, stat = jax.lax.scan(
+        body, qbar[-1],
+        (data.dyn.A, data.dyn.B, qbar[:-1], gru, eq.C, eq.D, LiD),
+        reverse=True)
+    return jnp.max(jnp.abs(stat))
 
 
 def _max_step(v, dv, mask, tau):
@@ -146,11 +164,29 @@ def solve_ocp_qp(data: OcpQpData,
     All shapes static; safe under jit/vmap. With ``data.con is None`` this
     reduces to a single Riccati solve (exact).
     """
-    if data.con is None:
+    if data.con is None and data.eq is None:
         return solve_lqr(data, reg=settings.reg)
+    dt = data.dx0.dtype
+    Nh = data.dyn.horizon
+    if data.con is None:
+        # Equality-only problem: one exact eq-Riccati solve.
+        from cheeta_mpc_tpu.ops.riccati import solve_eq_lqr
+        return solve_eq_lqr(data, reg=settings.reg)
+    if data.eq is None:
+        zeq = StageEquality(C=jnp.zeros((Nh, 0, data.dyn.nx), dt),
+                            D=jnp.zeros((Nh, 0, data.dyn.nu), dt),
+                            e=jnp.zeros((Nh, 0), dt),
+                            mask=jnp.zeros((Nh, 0), dt))
+        data = data.replace(eq=zeq)
+    eq = data.eq
+    # Least-squares equality-dual operator for the stationarity metric
+    # (constraint matrices are constant across IPM iterations).
+    DDt = (jnp.einsum('kri,ksi->krs', eq.D, eq.D)
+           + jax.vmap(jnp.diag)(1.0 - eq.mask))
+    from cheeta_mpc_tpu.ops.linalg_small import spd_inverse as _spdi
+    LiD = _spdi(DDt) @ eq.D  # (N, nc, nu)
 
     con = data.con
-    dt = data.dx0.dtype
     m = con.mask.astype(dt)
     con = con.replace(mask=m)
     data = data.replace(con=con)
@@ -187,6 +223,8 @@ def solve_ocp_qp(data: OcpQpData,
                  + bmv(data.dyn.B, state.du)
                  + data.dyn.b - state.dx[1:])
         r_x0 = data.dx0 - state.dx[0]
+        r_eq = eq.mask * (bmv(eq.C, state.dx[:-1]) + bmv(eq.D, state.du)
+                          + eq.e)
         mu = (jnp.sum(m * (state.s_l * state.lam_l + state.s_u * state.lam_u))
               / (2.0 * n_active))
 
@@ -198,13 +236,14 @@ def solve_ocp_qp(data: OcpQpData,
         Qb = data.cost.Q + jnp.einsum('nri,nrj->nij', con.C, wC)
         Rb = data.cost.R + jnp.einsum('kri,krj->kij', con.D[:-1], wD[:-1])
         Sb = data.cost.S + jnp.einsum('kri,krj->kij', con.D[:-1], wC[:-1])
-        factors = riccati_factorize(data.dyn, Qb, Rb, Sb, reg=settings.reg)
+        factors = riccati_factorize_eq(data.dyn, Qb, Rb, Sb, eq.C, eq.D,
+                                       eq.mask, reg=settings.reg)
 
         # Predictor (affine direction, sigma = 0).
         r_cl = m * (state.s_l * state.lam_l)
         r_cu = m * (state.s_u * state.lam_u)
-        aff = _solve_newton(data, state, factors, r_dyn, r_x0, r_l, r_u,
-                            r_cl, r_cu)
+        aff = _solve_newton(data, state, factors, r_dyn, r_x0, r_eq,
+                            r_l, r_u, r_cl, r_cu)
         ddx_a, ddu_a, ds_l_a, ds_u_a, dl_l_a, dl_u_a, _, _ = aff
         a_aff = jnp.minimum(
             jnp.minimum(_max_step(state.s_l, ds_l_a, m, settings.tau),
@@ -221,8 +260,8 @@ def solve_ocp_qp(data: OcpQpData,
         # Corrector (reuses the factorization; only the vector pass reruns).
         r_cl_c = m * (state.s_l * state.lam_l + ds_l_a * dl_l_a - sigma * mu)
         r_cu_c = m * (state.s_u * state.lam_u + ds_u_a * dl_u_a - sigma * mu)
-        cor = _solve_newton(data, state, factors, r_dyn, r_x0, r_l, r_u,
-                            r_cl_c, r_cu_c)
+        cor = _solve_newton(data, state, factors, r_dyn, r_x0, r_eq,
+                            r_l, r_u, r_cl_c, r_cu_c)
         ddx, ddu, ds_l, ds_u, dl_l, dl_u, kvec, p = cor
         a = jnp.minimum(
             jnp.minimum(_max_step(state.s_l, ds_l, m, settings.tau),
@@ -249,7 +288,7 @@ def solve_ocp_qp(data: OcpQpData,
         # comparisons are false, so NaN steps are rejected too). The norm at
         # the incoming state is carried from the previous iteration, so one
         # evaluation per iteration suffices.
-        stat_new = _stationarity_norm(data, new)
+        stat_new = _stationarity_norm(data, new, LiD)
         ok = stat_new <= 10.0 * (stat_old + mu)
         new = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, state)
         stat_carry = jnp.where(ok, stat_new, stat_old)
@@ -261,7 +300,7 @@ def solve_ocp_qp(data: OcpQpData,
         k=jnp.zeros((data.dyn.horizon, data.dyn.nu), dt),
         P=jnp.zeros((data.dyn.horizon + 1, data.dyn.nx, data.dyn.nx), dt),
         p=jnp.zeros((data.dyn.horizon + 1, data.dyn.nx), dt))
-    stat0 = _stationarity_norm(data, state0)
+    stat0 = _stationarity_norm(data, state0, LiD)
     (state, gains, mu, _), _ = jax.lax.scan(
         iteration, (state0, dummy_gains, jnp.asarray(jnp.inf, dt), stat0),
         None, length=settings.iters)

@@ -129,6 +129,122 @@ def lqr_forward(dyn: DynamicsLin, K: jnp.ndarray, k: jnp.ndarray,
     return dx, du
 
 
+class EqRiccatiFactors(NamedTuple):
+    """Factors for the equality-constrained stage elimination.
+
+    Per-stage state-input equalities ``Ceq dx + Deq du = h`` with an activity
+    mask (inactive rows get an eps dual regularization, so the row count is
+    static while the effective rank follows the contact mode). This is the
+    TPU-native replacement for the reference's LU/QR projection +
+    change-of-input-variables (ConstraintProjection.cpp:34-65,
+    MultipleShootingTranscription.cpp:67-82), which has data-dependent rank.
+
+    Stage saddle system over (du, nu_eq):
+        [G  D'] [du ]   [-(H dx + g)]
+        [D  -E ] [nu ] = [h - C dx  ]      E = eps * diag(1 - mask)
+    eliminated via two SPD inverses:
+        Y  = G^{-1} D',   Lam = D Y + E,   Li = Lam^{-1}
+        W  = G^{-1} - Y Li Y'             (reduced inverse)
+        du = -(W H + Y Li C) dx - (W g - Y Li h)
+    Value recursion:
+        P <- (Q + A'PA) + H'K + C' Li (C - Y' H)
+        p <- q_x + A'm + H'k + C' nu0,  nu0 = -Li (h + Y' g)
+    """
+
+    K: jnp.ndarray  # (N, nu, nx)
+    W: jnp.ndarray  # (N, nu, nu) reduced inverses
+    YLi: jnp.ndarray  # (N, nu, nc)  Y Lam^{-1}
+    Li: jnp.ndarray  # (N, nc, nc) Lam^{-1}
+    H: jnp.ndarray  # (N, nu, nx)  S + B'P A (needed in the vector pass)
+    P: jnp.ndarray  # (N+1, nx, nx)
+
+
+def riccati_factorize_eq(dyn: DynamicsLin, Q, R, S, Ceq, Deq, eq_mask,
+                         reg: float = 0.0,
+                         eps: float = 1.0) -> EqRiccatiFactors:
+    """Backward matrix pass with masked stage equalities.
+
+    Ceq: (N, nc, nx), Deq: (N, nc, nu), eq_mask: (N, nc). Inactive rows must
+    be zeroed in Ceq/Deq (callers mask them) and get dual regularization
+    ``eps`` so Lam stays SPD.
+    """
+    nx = Q.shape[-1]
+    nu = R.shape[-1]
+    eye_u = jnp.eye(nu, dtype=R.dtype)
+    M = jnp.concatenate([dyn.A, dyn.B], axis=-1)
+
+    def body(P_next, stage):
+        Mk, Qk, Rk, Sk, Ck, Dk, mk = stage
+        PM = P_next @ Mk
+        T = Mk.T @ PM
+        G = Rk + T[nx:, nx:] + reg * eye_u
+        H = Sk + T[nx:, :nx]
+        Ginv = spd_inverse(symmetrize(G))
+        Y = Ginv @ Dk.T  # (nu, nc)
+        E = eps * (1.0 - mk)
+        Lam = Dk @ Y + jnp.diag(E)
+        Li = spd_inverse(symmetrize(Lam))
+        YLi = Y @ Li
+        W = Ginv - YLi @ Y.T
+        K = -(W @ H + YLi @ Ck)
+        P = Qk + T[:nx, :nx] + H.T @ K + Ck.T @ (Li @ (Ck - Y.T @ H))
+        P = symmetrize(P)
+        return P, (K, W, YLi, Li, H, P)
+
+    _, (K, W, YLi, Li, H, P_stages) = jax.lax.scan(
+        body, symmetrize(Q[-1]), (M, Q[:-1], R, S, Ceq, Deq, eq_mask),
+        reverse=True)
+    P = jnp.concatenate([P_stages, symmetrize(Q[-1])[None]], axis=0)
+    return EqRiccatiFactors(K=K, W=W, YLi=YLi, Li=Li, H=H, P=P)
+
+
+def riccati_vector_eq(dyn: DynamicsLin, q, r, h, Ceq,
+                      factors: EqRiccatiFactors):
+    """Backward vector pass with equality right-hand sides h: (N, nc).
+
+    Uses the identity Li Y' g = (YLi)' g (Li symmetric) so the stored
+    factors suffice: nu0 = -(Li h + (YLi)' g)."""
+
+    def body(p_next, stage):
+        A, B, b, qk, rk, hk, Ck, K, W, YLi, Li, H, P_next = stage
+        m = p_next + bmv(P_next, b)
+        g = rk + bmv_t(B, m)
+        k = -(bmv(W, g) - bmv(YLi, hk))
+        nu0 = -(bmv(Li, hk) + bmv_t(YLi, g))
+        p = qk + bmv_t(A, m) + bmv_t(H, k) + bmv_t(Ck, nu0)
+        return p, (k, p)
+
+    _, (k, p_stages) = jax.lax.scan(
+        body, q[-1],
+        (dyn.A, dyn.B, dyn.b, q[:-1], r, h, Ceq, factors.K, factors.W,
+         factors.YLi, factors.Li, factors.H, factors.P[1:]),
+        reverse=True)
+    p = jnp.concatenate([p_stages, q[-1][None]], axis=0)
+    return k, p
+
+
+def solve_eq_lqr(data: OcpQpData, reg: float = 0.0) -> OcpQpSolution:
+    """Solve an OCP-QP with stage equalities but no inequalities, exactly."""
+    cost = data.cost
+    eq = data.eq
+    f = riccati_factorize_eq(data.dyn, cost.Q, cost.R, cost.S, eq.C, eq.D,
+                             eq.mask, reg=reg)
+    k, p = riccati_vector_eq(data.dyn, cost.q, cost.r, -(eq.mask * eq.e),
+                             eq.C, f)
+    dx, du = lqr_forward(data.dyn, f.K, k, dx0=data.dx0)
+    gains = RiccatiGains(K=f.K, k=k, P=f.P, p=p)
+    N1 = cost.Q.shape[0]
+    ng = 0 if data.con is None else data.con.ng
+    zshape = (N1, ng)
+    zero = jnp.zeros((), dx.dtype)
+    return OcpQpSolution(
+        dx=dx, du=du, gains=gains,
+        lam_l=jnp.zeros(zshape, dx.dtype), lam_u=jnp.zeros(zshape, dx.dtype),
+        s_l=jnp.ones(zshape, dx.dtype), s_u=jnp.ones(zshape, dx.dtype),
+        iterations=jnp.zeros((), jnp.int32), mu=zero, stat_res=zero,
+        ineq_res=zero, eq_res=zero)
+
+
 def solve_lqr(data: OcpQpData, reg: float = 0.0) -> OcpQpSolution:
     """Solve an equality-constrained (unconstrained-inequality) OCP-QP exactly.
 

@@ -40,13 +40,14 @@ def random_lq_problem(rng, N, nx, nu, dtype=np.float64, with_x0=True):
 
 
 def add_random_constraints(rng, data: OcpQpData, ng, tight=0.5,
-                           dtype=np.float64):
+                           dtype=np.float64, ref=None):
     """Random two-sided constraints, *feasible by construction*.
 
-    Bounds are placed around the constraint values of a random
-    dynamics-consistent reference trajectory (rolled out from dx0), so that
-    trajectory is strictly interior — the problem is guaranteed feasible while
-    the optimum typically pushes against the bounds when ``tight`` is small.
+    Bounds are placed around the constraint values of a reference trajectory
+    that satisfies all equalities (dynamics; pass ``ref=(dx, du)`` for
+    problems with stage equalities), so that trajectory is strictly interior
+    — the problem is guaranteed feasible while the optimum typically pushes
+    against the bounds when ``tight`` is small.
     """
     N = data.dyn.horizon
     nx, nu = data.dyn.nx, data.dyn.nu
@@ -58,11 +59,14 @@ def add_random_constraints(rng, data: OcpQpData, ng, tight=0.5,
     D[-1] = 0.0
     mask = (rng.uniform(size=(N + 1, ng)) < 0.9).astype(np.float64)
 
-    du_ref = rng.normal(size=(N, nu)) * 0.3
-    dx_ref = [np.asarray(data.dx0)]
-    for k in range(N):
-        dx_ref.append(A[k] @ dx_ref[k] + B[k] @ du_ref[k] + b[k])
-    dx_ref = np.stack(dx_ref)
+    if ref is None:
+        du_ref = rng.normal(size=(N, nu)) * 0.3
+        dx_ref = [np.asarray(data.dx0)]
+        for k in range(N):
+            dx_ref.append(A[k] @ dx_ref[k] + B[k] @ du_ref[k] + b[k])
+        dx_ref = np.stack(dx_ref)
+    else:
+        dx_ref, du_ref = (np.asarray(ref[0]), np.asarray(ref[1]))
     g_ref = (np.einsum('nij,nj->ni', C, dx_ref)
              + np.einsum('nij,nj->ni', D,
                          np.concatenate([du_ref, np.zeros((1, nu))])))
