@@ -1,0 +1,149 @@
+"""Legged-robot demo node: closed-loop walking with metrics + viz capture.
+
+The application-node equivalent of the reference's LeggedRobotDummyNode +
+LeggedRobotVisualizer + MultiplotRemap (§2.7): runs the MPC/MRT loop in
+deterministic lock-step with plant == model, streams per-solve performance
+metrics as JSONL (the reference republishes PerformanceIndex for
+rqt_multiplot), and saves the trajectory + footholds + GRFs to an .npz for
+plotting.
+
+Usage:
+    python -m cheeta_mpc_tpu.cli.legged_demo [--seconds 1.5] [--vx 0.25]
+        [--out /tmp/legged_demo] [--gait trot]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=1.2)
+    ap.add_argument("--vx", type=float, default=0.25)
+    ap.add_argument("--gait", default="trot")
+    ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/legged_demo")
+    ap.add_argument("--task-info", default=
+                    "/root/reference/ocs2_legged_robot/config/mpc/task.info")
+    ap.add_argument("--gait-info", default=
+                    "/root/reference/ocs2_legged_robot/config/command/gait.info")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from cheeta_mpc_tpu.gait.schedule import GaitSchedule
+    from cheeta_mpc_tpu.gait.swing import SwingConfig, SwingTrajectoryPlanner
+    from cheeta_mpc_tpu.models.quadruped_kinematics import \
+        foot_positions_world
+    from cheeta_mpc_tpu.models.srbd_legged import srbd_step, unpack_srbd_state
+    from cheeta_mpc_tpu.mpc.legged_mpc import (LeggedMpcConfig,
+                                               build_legged_solver,
+                                               make_velocity_command_reference)
+    from cheeta_mpc_tpu.mpc.runtime import (MpcMrtInterface, PolicyData,
+                                            SystemObservation, run_dummy_loop)
+    from cheeta_mpc_tpu.ops.ocpqp import IpmSettings
+    from cheeta_mpc_tpu.solvers.scp import ScpSettings
+    from cheeta_mpc_tpu.utils.info_config import load_gait_library
+    from cheeta_mpc_tpu.utils.timing import Benchmarker
+
+    cfg = LeggedMpcConfig.from_task_info(args.task_info,
+                                         horizon=args.horizon,
+                                         dtype=jnp.float32)
+    N, DT = cfg.horizon, cfg.params.dt
+    default_joints = np.array([0., 0.4, -0.8, 0., -0.4, 0.8,
+                               0., 0.4, -0.8, 0., -0.4, 0.8])
+    feet_b = np.asarray(foot_positions_world(
+        cfg.params.desc, jnp.zeros(3), jnp.zeros(3),
+        jnp.asarray(default_joints)))
+    x0 = np.zeros(24)
+    x0[8] = -feet_b[:, 2].mean()
+    x0[12:] = default_joints
+
+    library = load_gait_library(args.gait_info)
+    template = library[args.gait]
+    gs = GaitSchedule.stance(template, t0=0.0)
+    gs.phase_transition_stance_time = 0.1
+    gs.insert_template(template, insert_time=0.2)
+    ms = gs.get_mode_schedule(0.0, args.seconds + 2.0)
+    planner = SwingTrajectoryPlanner(SwingConfig(), num_feet=4)
+    planner.update(ms, terrain_height=0.0)
+
+    solve = jax.jit(build_legged_solver(
+        cfg, ScpSettings(iterations=2, ipm=IpmSettings(iters=10))))
+    bench = Benchmarker()
+    metrics_path = f"{args.out}_metrics.jsonl"
+    metrics_f = open(metrics_path, "w")
+    v_cmd = np.array([args.vx, 0.0, 0.0])
+
+    def solve_fn(obs: SystemObservation) -> PolicyData:
+        t, x = obs.time, obs.state
+        x_ref = make_velocity_command_reference(cfg, x, v_cmd,
+                                                com_height=x0[8])
+        enable = np.stack([np.asarray(ms.contact_flags_at(t + (k + 0.5) * DT))
+                           for k in range(N)])
+        z_pos, z_vel = planner.sample_grid(t0=t + 0.5 * DT, dt=DT, horizon=N)
+        with bench.phase("mpc_solve"):
+            sol = solve(jnp.asarray(x, jnp.float32),
+                        jnp.asarray(x_ref, jnp.float32),
+                        jnp.asarray(enable, jnp.float32),
+                        jnp.asarray(z_pos.T, jnp.float32),
+                        jnp.asarray(z_vel.T, jnp.float32))
+            jax.block_until_ready(sol.u_traj)
+        bench.record_solve_ms(bench.phase("mpc_solve").latest_ms)
+        # PerformanceIndex stream (MultiplotRemap analogue).
+        metrics_f.write(json.dumps({
+            "t": round(t, 4), "merit": float(sol.merit),
+            "qp_mu": float(sol.qp_mu),
+            "solve_ms": round(bench.phase("mpc_solve").latest_ms, 3)}) + "\n")
+        return PolicyData(times=t + DT * np.arange(N + 1),
+                          x_traj=np.asarray(sol.x_traj, np.float64),
+                          u_traj=np.asarray(sol.u_traj, np.float64),
+                          K=np.asarray(sol.gains_K, np.float64))
+
+    def plant_step(t, x, u):
+        e = np.asarray(ms.contact_flags_at(t + 0.5 * DT))
+        return np.asarray(srbd_step(cfg.params, jnp.asarray(x, jnp.float32),
+                                    jnp.asarray(u, jnp.float32),
+                                    jnp.asarray(e, jnp.float32)), np.float64)
+
+    n_steps = int(round(args.seconds / DT))
+    t_wall = time.perf_counter()
+    res = run_dummy_loop(MpcMrtInterface(solve_fn), plant_step, x0=x0,
+                         mrt_dt=DT, mpc_update_ratio=2, n_steps=n_steps)
+    wall = time.perf_counter() - t_wall
+    metrics_f.close()
+
+    xs = res.states
+    feet = np.stack([np.asarray(foot_positions_world(
+        cfg.params.desc, jnp.asarray(x[6:9]), jnp.asarray(x[9:12]),
+        jnp.asarray(x[12:]))) for x in xs])
+    forces = res.inputs[:, :12].reshape(-1, 4, 3)
+    np.savez(f"{args.out}_traj.npz", times=res.times, states=xs, feet=feet,
+             forces=forces)
+
+    # Real-time delay guard (reference MPC_MRT_Interface.cpp:98-104).
+    budget_ms = 1e3 * DT * 2  # planning period
+    avg = bench.phase("mpc_solve").avg_ms
+    rt_ok = avg < budget_ms
+    print(f"simulated {n_steps * DT:.2f} s in {wall:.1f} s wall "
+          f"({res.solves} solves)")
+    print(f"  forward progress: {xs[-1, 6] - x0[6]:+.3f} m at "
+          f"cmd {args.vx} m/s; height drift "
+          f"{np.abs(xs[:, 8] - x0[8]).max():.3f} m")
+    print(f"  solve: {bench.report()}")
+    print(f"  realtime budget {budget_ms:.0f} ms/solve: "
+          f"{'OK' if rt_ok else 'EXCEEDED'} (avg {avg:.1f} ms)"
+          + ("" if rt_ok else "  [reference delay-guard warning]"))
+    print(f"  wrote {args.out}_traj.npz, {metrics_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
