@@ -12,10 +12,10 @@ This is the role BLASFEO's hand-tuned small-matrix kernels play in the
 reference stack (fetched by ``ocs2_sqp/blasfeo_catkin``); here the "hand
 tuning" is trace-time unrolling + the batch axis supplied by ``vmap``.
 
-Accuracy: explicit inversion loses ~cond(G)*eps; one step of iterative
-refinement (``spd_inverse(..., refine=1)``) squares that error away, keeping
-f32 usable at the barrier conditioning the IPM reaches before its
-convergence freeze.
+Accuracy: explicit inversion loses ~cond(G)*eps (the optimum for an
+explicit inverse); the IPM's barrier-weight clip and convergence freeze keep
+cond within what f32 tolerates on TPU, and the f64 test oracles certify the
+end-to-end behavior.
 """
 
 from __future__ import annotations
@@ -113,15 +113,109 @@ def _inv_schur(G: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def spd_inverse(G: jnp.ndarray, refine: int = 1) -> jnp.ndarray:
+def chol_blocked(H: jnp.ndarray, nb: int = 48):
+    """Blocked right-looking Cholesky: (L, Dinv) with per-panel inverses.
+
+    Panels of width ``nb`` are factorized with the trace-time-unrolled
+    kernels; trailing updates are batched MXU matmuls — the BLASFEO blocked
+    algorithm expressed in XLA. Backward stable (unlike Schur-complement
+    block inversion, which loses *all* accuracy beyond cond ~1e5 — measured).
+    ``Dinv`` stacks the inverses of the diagonal blocks of L for reuse in
+    substitution. ``H`` is padded internally to a multiple of ``nb``.
+    """
+    n = H.shape[-1]
+    n_pad = -(-n // nb) * nb
+    if n_pad != n:
+        batch = H.shape[:-2]
+        P = jnp.zeros(batch + (n_pad, n_pad), H.dtype)
+        P = P.at[..., :n, :n].set(H)
+        pad_eye = jnp.eye(n_pad - n, dtype=H.dtype)
+        P = P.at[..., n:, n:].set(jnp.broadcast_to(pad_eye,
+                                                   batch + (n_pad - n,) * 2))
+        H = P
+    k = n_pad // nb
+    M = H
+    Lcols = []
+    Dinvs = []
+    for j in range(k):
+        j0 = j * nb
+        Ljj = chol_unrolled(M[..., j0:j0 + nb, j0:j0 + nb])
+        Dj = tri_lower_inv_unrolled(Ljj)
+        Lij = M[..., j0 + nb:, j0:j0 + nb] @ jnp.swapaxes(Dj, -1, -2)
+        M = (M.at[..., j0 + nb:, j0 + nb:]
+             .add(-Lij @ jnp.swapaxes(Lij, -1, -2)))
+        zeros_above = jnp.zeros(M.shape[:-2] + (j0, nb), H.dtype)
+        Lcols.append(jnp.concatenate([zeros_above, Ljj, Lij], axis=-2))
+        Dinvs.append(Dj)
+    L = jnp.concatenate(Lcols, axis=-1)
+    return L, jnp.stack(Dinvs, axis=-3), n
+
+
+def tri_lower_inv_blocked(L: jnp.ndarray, Dinv: jnp.ndarray, nb: int = 48):
+    """Explicit inverse of a blocked lower-triangular factor.
+
+    Block forward substitution on the identity: column-block j of ``Linv``
+    is ``-Dinv_i @ sum_k L_ik Linv_kj`` below the diagonal block. All MXU
+    matmuls, k(k-1)/2 of them.
+    """
+    n_pad = L.shape[-1]
+    k = n_pad // nb
+    # cols[i][j] = (nb, nb) block (i, j) of Linv, i >= j.
+    cols = [[None] * k for _ in range(k)]
+    for j in range(k):
+        cols[j][j] = Dinv[..., j, :, :]
+        for i in range(j + 1, k):
+            acc = 0.0
+            for p in range(j, i):
+                Lip = L[..., i * nb:(i + 1) * nb, p * nb:(p + 1) * nb]
+                acc = acc + Lip @ cols[p][j]
+            cols[i][j] = -Dinv[..., i, :, :] @ acc
+    zero = jnp.zeros(L.shape[:-2] + (nb, nb), L.dtype)
+    rows = [jnp.concatenate([cols[i][j] if j <= i else zero
+                             for j in range(k)], axis=-1) for i in range(k)]
+    return jnp.concatenate(rows, axis=-2)
+
+
+def spd_inverse(G: jnp.ndarray, refine: int = 1, nb: int = 48,
+                method: str = 'schur') -> jnp.ndarray:
     """Explicit inverse of an SPD matrix, TPU-native.
 
-    Recursive Schur-complement block inversion (batched matmuls, short
-    dependency chain) + ``refine`` steps of Newton iterative refinement
-    (X <- X (2I - G X)) to square away the blocked-elimination error.
+    Two kernels, picked by ``method``:
+
+    - ``'schur'`` (default): recursive Schur-complement block inversion —
+      log-depth batched matmuls, the fastest shape for the small
+      (nu ~ 12-32) Riccati-recursion inverses that dominate the hot path.
+      Accuracy degrades past cond ~1e5 in f32; fine for the barrier-clipped
+      Riccati IPM, certified by the f64 oracle tests.
+    - ``'chol'``: unrolled (n <= 8) or blocked Cholesky, then
+      ``X = Linv' Linv``. Backward stable: residual |XG - I| ~ cond(G)*eps,
+      the optimum for an explicit inverse. Use for the condensed IPM's
+      large barrier-augmented Hessians (cond >~ 1e8), where Schur loses
+      all accuracy and where Newton ``refine`` steps measurably *grow*
+      the large-eigenvalue residual (those call sites pass refine=0).
+
+    ``refine`` Newton steps (X <- X(2I - GX)) square away the blocked-
+    elimination error at moderate conditioning.
     """
-    X = _inv_schur(G)
     n = G.shape[-1]
+    if n == 0:
+        return G
+    if n <= 3:
+        X = _inv_schur(G)  # closed forms, exact up to roundoff
+    elif method == 'schur':
+        X = _inv_schur(G)
+    elif n <= 8:
+        L = chol_unrolled(G)
+        Linv = tri_lower_inv_unrolled(L)
+        X = jnp.swapaxes(Linv, -1, -2) @ Linv
+    else:
+        # Blocked: small panels keep the sequential dependency chain short
+        # (the scalar-unrolled kernels are latency-bound on TPU); panel size
+        # grows with n so the block matmuls stay MXU-sized.
+        nbk = 8 if n <= 64 else nb
+        L, Dinv, _ = chol_blocked(G, nbk)
+        Linv = tri_lower_inv_blocked(L, Dinv, nbk)
+        X = (jnp.swapaxes(Linv, -1, -2) @ Linv)[..., :n, :n]
     eye2 = 2.0 * jnp.eye(n, dtype=G.dtype)
     for _ in range(refine):
         X = X @ (eye2 - G @ X)

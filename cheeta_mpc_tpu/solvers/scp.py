@@ -37,6 +37,10 @@ class ScpSettings(NamedTuple):
     # Parallel line-search ladder (reference alpha_decay 0.5, alpha_min 1e-4:
     # MultipleShootingSettings.h:40-80). 1.0 first => full Newton when it helps.
     alphas: tuple = (1.0, 0.5, 0.25, 0.125)
+    # QP backend: 'riccati' (O(N) scan, any horizon, stage equalities) or
+    # 'condensed' (states eliminated, dense MXU GEMMs — fastest for short
+    # horizons, no stage equalities). Mirrors HPIPM's two modes.
+    qp_backend: str = 'riccati'
 
 
 class ScpResult(NamedTuple):
@@ -64,11 +68,18 @@ def solve_nonlinear_ocp(
     metric (cost + constraint-violation penalty).
     """
     alphas = jnp.asarray(settings.alphas, x_init.dtype)
+    if settings.qp_backend == 'condensed':
+        from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
+        qp_solve = solve_ocp_qp_condensed
+    elif settings.qp_backend == 'riccati':
+        qp_solve = solve_ocp_qp
+    else:
+        raise ValueError(f"unknown qp_backend {settings.qp_backend!r}")
 
     def iteration(carry, _):
         x, u = carry
         data = linearize(x, u)
-        sol = solve_ocp_qp(data, settings.ipm)
+        sol = qp_solve(data, settings.ipm)
 
         def try_alpha(a):
             return merit(x + a * sol.dx, u + a * sol.du)
