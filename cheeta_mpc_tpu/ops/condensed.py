@@ -126,50 +126,56 @@ class _DenseState(NamedTuple):
 def _factorize(Hb: jnp.ndarray, method: str):
     """Factor the barrier-augmented Hessian once per iteration.
 
-    ``spd_inverse`` (blocked-Cholesky explicit inverse, ops/linalg_small.py)
-    is mostly batched GEMMs — on TPU it beats XLA's loop-lowered batched
-    Cholesky at these sizes while staying numerically stable.
+    'cholesky' (default) = XLA's native blocked Cholesky after Jacobi
+    equilibration — the barrier term puts huge spikes on the diagonal and
+    normalizing them reduces the condition number the factorization sees
+    (standard IPM practice). XLA lowers the 240x240 Cholesky + triangular
+    solves to a short blocked program that compiles in seconds on TPU; the
+    alternative 'spd_inverse' (trace-time-unrolled blocked Cholesky,
+    ops/linalg_small.py) explodes the XLA graph at this size and is kept only
+    for small f64 CPU oracles.
     """
+    d = jax.lax.rsqrt(jnp.maximum(
+        jnp.diagonal(Hb, axis1=-2, axis2=-1), 1e-30))
+    Hs = d[..., :, None] * Hb * d[..., None, :]
     if method == 'spd_inverse':
         from cheeta_mpc_tpu.ops.linalg_small import spd_inverse
-        # Jacobi equilibration: the barrier term puts huge spikes on the
-        # diagonal; normalizing them reduces the effective condition number
-        # seen by the factorization (standard IPM practice).
-        d = jax.lax.rsqrt(jnp.diagonal(Hb, axis1=-2, axis2=-1))
-        Hs = d[..., :, None] * Hb * d[..., None, :]
-        return d[..., :, None] * spd_inverse(Hs, refine=0,
+        Finv = d[..., :, None] * spd_inverse(Hs, refine=0,
                                              method='chol') * d[..., None, :]
+        return (Finv, d)
     if method == 'cholesky':
-        return jnp.linalg.cholesky(Hb)
+        return (jnp.linalg.cholesky(Hs), d)
     raise ValueError(f"unknown dense factorization {method!r}")
 
 
-def _factor_solve(F: jnp.ndarray, Hb: jnp.ndarray, rhs: jnp.ndarray,
-                  method: str):
+def _factor_solve(F, Hb: jnp.ndarray, rhs: jnp.ndarray, method: str):
+    Fmat, d = F
     if method == 'spd_inverse':
         # Explicit inverse + one iterative-refinement step: the refinement
         # squares the inverse's relative error (two extra GEMV), which keeps
         # Newton directions accurate even at barrier conditioning ~1/mu.
-        x = F @ rhs
-        x = x + F @ (rhs - Hb @ x)
+        x = Fmat @ rhs
+        x = x + Fmat @ (rhs - Hb @ x)
         return x
     from jax.lax.linalg import triangular_solve
-    y = triangular_solve(F, rhs[..., None], left_side=True, lower=True)
-    x = triangular_solve(F, y, left_side=True, lower=True,
+    y = triangular_solve(Fmat, (d * rhs)[..., None], left_side=True,
+                         lower=True)
+    x = triangular_solve(Fmat, y, left_side=True, lower=True,
                          transpose_a=True)
-    return x[..., 0]
+    return d * x[..., 0]
 
 
 def solve_ocp_qp_condensed(data: OcpQpData,
                            settings: IpmSettings = IpmSettings(),
-                           factor: str = 'spd_inverse',
+                           factor: str = 'cholesky',
                            ) -> OcpQpSolution:
     """Solve a constrained OCP-QP by condensing + dense Mehrotra IPM.
 
     Drop-in replacement for :func:`cheeta_mpc_tpu.ops.ocpqp.solve_ocp_qp`
     on problems without stage equalities. All shapes static; jit/vmap-safe.
-    ``factor`` selects the dense factorization ('spd_inverse' = all-GEMM
-    explicit inverse, fastest on TPU; 'cholesky' = XLA batched Cholesky).
+    ``factor`` selects the dense factorization ('cholesky' = XLA native,
+    the TPU path; 'spd_inverse' = all-GEMM explicit inverse, small f64
+    oracles only — its trace-time unrolling does not scale to N*nu ~ 240).
     """
     qp = condense(data)
     dt = data.dx0.dtype

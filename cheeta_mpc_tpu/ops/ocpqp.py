@@ -142,10 +142,11 @@ def _stationarity_norm(data: OcpQpData, state: _IpmState,
         mu_k = qk + bmv_t(A, mu_next) + bmv_t(Ceqk, nu)
         return mu_k, stat_k
 
+    from cheeta_mpc_tpu.ops.riccati import stage_unroll
     _, stat = jax.lax.scan(
         body, qbar[-1],
         (data.dyn.A, data.dyn.B, qbar[:-1], gru, eq.C, eq.D, LiD),
-        reverse=True)
+        reverse=True, unroll=stage_unroll(gru.shape[0]))
     return jnp.max(jnp.abs(stat))
 
 
@@ -356,8 +357,9 @@ def kkt_residuals(data: OcpQpData, sol: OcpQpSolution):
         A, qk = stage
         return qk + bmv_t(A, lam_next), lam_next
 
+    from cheeta_mpc_tpu.ops.riccati import stage_unroll as _su
     _, lam_seq = jax.lax.scan(body, qbar[-1], (data.dyn.A, qbar[:-1]),
-                              reverse=True)
+                              reverse=True, unroll=_su(data.dyn.horizon))
     stat = jnp.max(jnp.abs(stat_u + bmv_t(data.dyn.B, lam_seq)))
     r_dyn = (bmv(data.dyn.A, dx[:-1])
              + bmv(data.dyn.B, du)
@@ -393,6 +395,7 @@ def _costate_correction(data: OcpQpData, state: _IpmState, lam_net):
         lam = qk + A.T @ lam_next
         return lam, lam_next
 
+    from cheeta_mpc_tpu.ops.riccati import stage_unroll as _su
     _, lam_seq = jax.lax.scan(body, qbar[-1], (data.dyn.A, qbar[:-1]),
-                              reverse=True)
+                              reverse=True, unroll=_su(data.dyn.horizon))
     return bmv_t(data.dyn.B, lam_seq)

@@ -39,6 +39,17 @@ from cheeta_mpc_tpu.core.types import (CostApprox, DynamicsLin, OcpQpData,
 from cheeta_mpc_tpu.ops.linalg_small import spd_inverse
 
 
+def stage_unroll(n_stages: int) -> int:
+    """Unroll factor for stage-serial scans.
+
+    The per-stage ops are tiny (nx<=33 blocks), so on TPU the scans are
+    sequencing-overhead-bound, not FLOP-bound: fully unrolling short horizons
+    lets XLA fuse and pipeline across stages (measured ~2.4x on the batch-1
+    N=10 solve on v5e). Longer horizons get a fixed partial unroll to bound
+    compile time."""
+    return n_stages if n_stages <= 16 else 4
+
+
 def bmv(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Batched mat-vec on the VPU: (..., m, n) x (..., n) -> (..., m).
 
@@ -85,7 +96,8 @@ def riccati_factorize(dyn: DynamicsLin, Q: jnp.ndarray, R: jnp.ndarray,
         return P, (K, Ginv, P)
 
     _, (K, Ginv, P_stages) = jax.lax.scan(
-        body, symmetrize(Q[-1]), (M, Q[:-1], R, S), reverse=True)
+        body, symmetrize(Q[-1]), (M, Q[:-1], R, S), reverse=True,
+        unroll=stage_unroll(R.shape[0]))
     P = jnp.concatenate([P_stages, symmetrize(Q[-1])[None]], axis=0)
     return RiccatiFactors(K=K, Ginv=Ginv, P=P)
 
@@ -109,7 +121,7 @@ def riccati_vector(dyn: DynamicsLin, q: jnp.ndarray, r: jnp.ndarray,
         body, q[-1],
         (dyn.A, dyn.B, dyn.b, q[:-1], r, factors.K, factors.Ginv,
          factors.P[1:]),
-        reverse=True)
+        reverse=True, unroll=stage_unroll(r.shape[0]))
     p = jnp.concatenate([p_stages, q[-1][None]], axis=0)
     return k, p
 
@@ -124,7 +136,8 @@ def lqr_forward(dyn: DynamicsLin, K: jnp.ndarray, k: jnp.ndarray,
         dx_next = bmv(A, dx) + bmv(B, du) + b
         return dx_next, (dx, du)
 
-    dxN, (dx, du) = jax.lax.scan(body, dx0, (dyn.A, dyn.B, dyn.b, K, k))
+    dxN, (dx, du) = jax.lax.scan(body, dx0, (dyn.A, dyn.B, dyn.b, K, k),
+                                 unroll=stage_unroll(K.shape[0]))
     dx = jnp.concatenate([dx, dxN[None]], axis=0)
     return dx, du
 
@@ -193,7 +206,7 @@ def riccati_factorize_eq(dyn: DynamicsLin, Q, R, S, Ceq, Deq, eq_mask,
 
     _, (K, W, YLi, Li, H, P_stages) = jax.lax.scan(
         body, symmetrize(Q[-1]), (M, Q[:-1], R, S, Ceq, Deq, eq_mask),
-        reverse=True)
+        reverse=True, unroll=stage_unroll(R.shape[0]))
     P = jnp.concatenate([P_stages, symmetrize(Q[-1])[None]], axis=0)
     return EqRiccatiFactors(K=K, W=W, YLi=YLi, Li=Li, H=H, P=P)
 
@@ -218,7 +231,7 @@ def riccati_vector_eq(dyn: DynamicsLin, q, r, h, Ceq,
         body, q[-1],
         (dyn.A, dyn.B, dyn.b, q[:-1], r, h, Ceq, factors.K, factors.W,
          factors.YLi, factors.Li, factors.H, factors.P[1:]),
-        reverse=True)
+        reverse=True, unroll=stage_unroll(r.shape[0]))
     p = jnp.concatenate([p_stages, q[-1][None]], axis=0)
     return k, p
 
