@@ -44,6 +44,13 @@ class MpcNode:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.solve_count = 0
+        # Snapshot the reset baseline NOW, before any client can publish a
+        # request: snapshotting inside the spin thread raced with an early
+        # reset_mpc() (the request landed before the thread's first poll and
+        # was absorbed into the baseline, never acked). The reference avoids
+        # the class of bug with a blocking ROS service
+        # (MRT_ROS_Interface.cpp:61-74).
+        self._reset_baseline = bus.seq("mpc_reset_req")
 
     def launch(self) -> None:
         """Start the spin thread (reference launchNodes,
@@ -53,7 +60,7 @@ class MpcNode:
 
     def _spin(self) -> None:
         last_obs_seq = 0
-        last_reset_seq = self._bus.seq("mpc_reset_req")
+        last_reset_seq = self._reset_baseline
         while not self._stop.is_set():
             # Reset service: ack immediately (solver state is functional).
             rseq = self._bus.seq("mpc_reset_req")

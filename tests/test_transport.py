@@ -101,6 +101,28 @@ def test_wire_roundtrip_policy():
     assert decode_policy(encode_policy(pol2)).K is None
 
 
+def test_reset_immediately_after_launch():
+    """Regression: a reset published right after launch() (before the spin
+    thread's first poll) must still be acked. Root cause of round-1 flake:
+    MpcNode snapshotted the reset baseline inside the spin thread, absorbing
+    early requests. 100 reps to make the lost-wakeup window statistically
+    visible."""
+    def solve_fn(obs):
+        return PolicyData(times=obs.time + 0.1 * np.arange(2),
+                          x_traj=np.zeros((2, 2)), u_traj=np.zeros((1, 1)))
+
+    for _ in range(100):
+        bus = make_bus(native=True)
+        mpc = MpcNode(bus, solve_fn)
+        mrt = MrtNode(bus)
+        mpc.launch()
+        try:
+            assert mrt.reset_mpc(timeout_s=5.0)
+        finally:
+            mpc.shutdown()
+            bus.close()
+
+
 def test_threaded_mpc_mrt_split():
     """Full split: MRT handshake -> MPC solves in its own thread -> MRT
     consumes policies; toy double-integrator regulated closed-loop."""
