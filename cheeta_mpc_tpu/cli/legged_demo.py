@@ -1,15 +1,20 @@
 """Legged-robot demo node: closed-loop walking with metrics + viz capture.
 
-The application-node equivalent of the reference's LeggedRobotDummyNode +
-LeggedRobotVisualizer + MultiplotRemap (§2.7): runs the MPC/MRT loop in
-deterministic lock-step with plant == model, streams per-solve performance
-metrics as JSONL (the reference republishes PerformanceIndex for
-rqt_multiplot), and saves the trajectory + footholds + GRFs to an .npz for
-plotting.
+The application-node equivalent of the reference's LeggedRobotSqpMpcNode /
+LeggedRobotDdpMpcNode + LeggedRobotDummyNode + LeggedRobotVisualizer +
+MultiplotRemap (SURVEY.md §2.7): runs the MPC/MRT loop in deterministic
+lock-step with plant == model, streams per-solve PerformanceIndex metrics as
+JSONL (the reference republishes PerformanceIndex for rqt_multiplot), and
+saves the trajectory + footholds + GRFs to an .npz for plotting.
+
+The MPC grid is event-aligned (solvers/discretization.discretize_fixed — the
+reference's timeDiscretizationWithEvents role), so gait switches land exactly
+on shooting nodes.
 
 Usage:
     python -m cheeta_mpc_tpu.cli.legged_demo [--seconds 1.5] [--vx 0.25]
-        [--out /tmp/legged_demo] [--gait trot]
+        [--out /tmp/legged_demo] [--gait trot] [--solver sqp|ddp]
+        [--cone soft|pyramid]
 """
 
 from __future__ import annotations
@@ -28,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--vx", type=float, default=0.25)
     ap.add_argument("--gait", default="trot")
     ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--solver", choices=("sqp", "ddp"), default="sqp",
+                    help="sqp = LeggedRobotSqpMpcNode role; "
+                         "ddp = LeggedRobotDdpMpcNode role")
+    ap.add_argument("--cone", choices=("soft", "pyramid"), default="soft",
+                    help="friction treatment (soft = reference task.info)")
     ap.add_argument("--out", default="/tmp/legged_demo")
     ap.add_argument("--task-info", default=
                     "/root/reference/ocs2_legged_robot/config/mpc/task.info")
@@ -42,19 +52,22 @@ def main(argv=None):
     from cheeta_mpc_tpu.gait.swing import SwingConfig, SwingTrajectoryPlanner
     from cheeta_mpc_tpu.models.quadruped_kinematics import \
         foot_positions_world
-    from cheeta_mpc_tpu.models.srbd_legged import srbd_step, unpack_srbd_state
+    from cheeta_mpc_tpu.models.srbd_legged import srbd_step
     from cheeta_mpc_tpu.mpc.legged_mpc import (LeggedMpcConfig,
                                                build_legged_solver,
                                                make_velocity_command_reference)
     from cheeta_mpc_tpu.mpc.runtime import (MpcMrtInterface, PolicyData,
                                             SystemObservation, run_dummy_loop)
     from cheeta_mpc_tpu.ops.ocpqp import IpmSettings
+    from cheeta_mpc_tpu.solvers.discretization import (discretize_fixed,
+                                                       interval_contact_flags)
     from cheeta_mpc_tpu.solvers.scp import ScpSettings
     from cheeta_mpc_tpu.utils.info_config import load_gait_library
     from cheeta_mpc_tpu.utils.timing import Benchmarker
 
     cfg = LeggedMpcConfig.from_task_info(args.task_info,
                                          horizon=args.horizon,
+                                         cone_mode=args.cone,
                                          dtype=jnp.float32)
     N, DT = cfg.horizon, cfg.params.dt
     default_joints = np.array([0., 0.4, -0.8, 0., -0.4, 0.8,
@@ -75,8 +88,14 @@ def main(argv=None):
     planner = SwingTrajectoryPlanner(SwingConfig(), num_feet=4)
     planner.update(ms, terrain_height=0.0)
 
-    solve = jax.jit(build_legged_solver(
-        cfg, ScpSettings(iterations=2, ipm=IpmSettings(iters=10))))
+    if args.solver == "sqp":
+        solve = jax.jit(build_legged_solver(
+            cfg, ScpSettings(iterations=2, ipm=IpmSettings(iters=10))))
+    else:
+        from cheeta_mpc_tpu.mpc.legged_ddp import build_legged_ddp_solver
+        from cheeta_mpc_tpu.solvers.ddp import DdpSettings
+        solve = jax.jit(build_legged_ddp_solver(cfg,
+                                                DdpSettings(iterations=5)))
     bench = Benchmarker()
     metrics_path = f"{args.out}_metrics.jsonl"
     metrics_f = open(metrics_path, "w")
@@ -86,26 +105,45 @@ def main(argv=None):
         t, x = obs.time, obs.state
         x_ref = make_velocity_command_reference(cfg, x, v_cmd,
                                                 com_height=x0[8])
-        enable = np.stack([np.asarray(ms.contact_flags_at(t + (k + 0.5) * DT))
-                           for k in range(N)])
-        z_pos, z_vel = planner.sample_grid(t0=t + 0.5 * DT, dt=DT, horizon=N)
+        # Event-aligned shooting grid: gait switches land on nodes.
+        times = discretize_fixed(t, t + N * DT, N + 1, ms.event_times)
+        enable = interval_contact_flags(times, ms)
+        dts = np.diff(times)
+        mids = 0.5 * (times[:-1] + times[1:])
+        z_pos, z_vel = planner.sample_times(mids)  # (4, N) each
+        z_pos, z_vel = z_pos.T, z_vel.T
         with bench.phase("mpc_solve"):
             sol = solve(jnp.asarray(x, jnp.float32),
                         jnp.asarray(x_ref, jnp.float32),
                         jnp.asarray(enable, jnp.float32),
-                        jnp.asarray(z_pos.T, jnp.float32),
-                        jnp.asarray(z_vel.T, jnp.float32))
+                        jnp.asarray(z_pos, jnp.float32),
+                        jnp.asarray(z_vel, jnp.float32),
+                        dts=jnp.asarray(dts, jnp.float32))
             jax.block_until_ready(sol.u_traj)
         bench.record_solve_ms(bench.phase("mpc_solve").latest_ms)
         # PerformanceIndex stream (MultiplotRemap analogue).
-        metrics_f.write(json.dumps({
-            "t": round(t, 4), "merit": float(sol.merit),
-            "qp_mu": float(sol.qp_mu),
-            "solve_ms": round(bench.phase("mpc_solve").latest_ms, 3)}) + "\n")
-        return PolicyData(times=t + DT * np.arange(N + 1),
+        entry = {"t": round(t, 4),
+                 "solve_ms": round(bench.phase("mpc_solve").latest_ms, 3)}
+        if args.solver == "sqp":
+            perf = sol.performance
+            entry.update({
+                "merit": float(sol.merit), "qp_mu": float(sol.qp_mu),
+                "cost": float(perf.cost),
+                "dyn_sse": float(perf.dyn_violation_sse),
+                "eq_sse": float(perf.eq_constraint_sse),
+                "ineq_sse": float(perf.ineq_constraint_sse),
+                "convergence": int(sol.convergence)})
+            P = np.asarray(sol.gains_P, np.float64)
+            pv = np.asarray(sol.gains_p, np.float64)
+        else:
+            entry.update({"cost": float(sol.cost)})
+            P = pv = None
+        metrics_f.write(json.dumps(entry) + "\n")
+        return PolicyData(times=times,
                           x_traj=np.asarray(sol.x_traj, np.float64),
                           u_traj=np.asarray(sol.u_traj, np.float64),
-                          K=np.asarray(sol.gains_K, np.float64))
+                          K=np.asarray(sol.gains_K, np.float64),
+                          P=P, p=pv)
 
     def plant_step(t, x, u):
         e = np.asarray(ms.contact_flags_at(t + 0.5 * DT))
@@ -133,7 +171,7 @@ def main(argv=None):
     avg = bench.phase("mpc_solve").avg_ms
     rt_ok = avg < budget_ms
     print(f"simulated {n_steps * DT:.2f} s in {wall:.1f} s wall "
-          f"({res.solves} solves)")
+          f"({res.solves} solves, {args.solver} solver, {args.cone} cone)")
     print(f"  forward progress: {xs[-1, 6] - x0[6]:+.3f} m at "
           f"cmd {args.vx} m/s; height drift "
           f"{np.abs(xs[:, 8] - x0[8]).max():.3f} m")

@@ -186,9 +186,14 @@ class SwingTrajectoryPlanner:
     def sample_grid(self, t0: float, dt: float, horizon: int):
         """(z_pos, z_vel) arrays of shape (num_feet, horizon) on the
         shooting grid — solver inputs for the normal-velocity constraints."""
-        ts = t0 + np.arange(horizon) * dt
-        z_pos = np.zeros((self.num_feet, horizon))
-        z_vel = np.zeros((self.num_feet, horizon))
+        return self.sample_times(t0 + np.arange(horizon) * dt)
+
+    def sample_times(self, ts):
+        """(z_pos, z_vel) of shape (num_feet, len(ts)) at arbitrary times —
+        for event-aligned (non-uniform) shooting grids."""
+        ts = np.asarray(ts, np.float64)
+        z_pos = np.zeros((self.num_feet, len(ts)))
+        z_vel = np.zeros((self.num_feet, len(ts)))
         for leg in range(self.num_feet):
             for k, t in enumerate(ts):
                 z_pos[leg, k] = self.z_position(leg, float(t))

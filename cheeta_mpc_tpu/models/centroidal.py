@@ -60,12 +60,18 @@ class CentroidalParams:
         return 9 + 3 * self.num_legs
 
     @classmethod
-    def create(cls, mass: float, num_legs: int, dt: float, mu) -> "CentroidalParams":
-        mu = jnp.asarray(mu)
+    def create(cls, mass: float, num_legs: int, dt: float,
+               mu) -> "CentroidalParams":
+        """Leaves are NUMPY on purpose: params are captured into jitted
+        closures, and capturing pre-existing *device* buffers forces the
+        axon/IFRT-proxy dispatch onto a ~20 ms slow path per execute.
+        numpy leaves are baked into the HLO as literals."""
+        import numpy as np
+        mu = np.asarray(mu)
         if mu.ndim == 0:
-            mu = jnp.full((num_legs,), mu)
-        return cls(mass=jnp.asarray(mass, mu.dtype), mu=mu,
-                   dt=jnp.asarray(dt, mu.dtype), num_legs=num_legs)
+            mu = np.full((num_legs,), mu)
+        return cls(mass=np.asarray(mass, mu.dtype), mu=mu,
+                   dt=np.asarray(dt, mu.dtype), num_legs=num_legs)
 
 
 def pack_state(com_pos, com_vel, ang_mom, foot_pos, f_prev):
@@ -141,5 +147,7 @@ def rollout(params: CentroidalParams, x0, u_traj, enable_traj):
         xn = centroidal_step(params, x, u, e)
         return xn, xn
 
-    _, xs = jax.lax.scan(body, x0, (u_traj, enable_traj))
+    from cheeta_mpc_tpu.ops.riccati import stage_unroll
+    _, xs = jax.lax.scan(body, x0, (u_traj, enable_traj),
+                         unroll=stage_unroll(u_traj.shape[0]))
     return jnp.concatenate([x0[None], xs], axis=0)

@@ -76,9 +76,12 @@ def srbd_continuous_dynamics(params: SrbdParams, x, u, enable):
     return jnp.concatenate([vcom_dot, l_norm_dot, vcom, eul_dot, qd])
 
 
-def srbd_step(params: SrbdParams, x, u, enable):
-    """One integration step (Euler or RK2 per task.info integratorType)."""
-    dt = params.dt
+def srbd_step(params: SrbdParams, x, u, enable, dt=None):
+    """One integration step (Euler or RK2 per task.info integratorType).
+
+    ``dt`` overrides the nominal step — event-aligned grids have per-interval
+    durations (reference getIntervalDuration, TimeDiscretization.h:64-78)."""
+    dt = params.dt if dt is None else dt
     k1 = srbd_continuous_dynamics(params, x, u, enable)
     if params.integrator == "euler":
         return x + dt * k1
@@ -87,11 +90,11 @@ def srbd_step(params: SrbdParams, x, u, enable):
     return x + dt * k2
 
 
-def srbd_linearize(params: SrbdParams, x, u, enable):
+def srbd_linearize(params: SrbdParams, x, u, enable, dt=None):
     """(A, B, f) exact Jacobians of the discrete step via forward AD."""
-    f = srbd_step(params, x, u, enable)
-    A = jax.jacfwd(lambda xx: srbd_step(params, xx, u, enable))(x)
-    B = jax.jacfwd(lambda uu: srbd_step(params, x, uu, enable))(u)
+    f = srbd_step(params, x, u, enable, dt)
+    A = jax.jacfwd(lambda xx: srbd_step(params, xx, u, enable, dt))(x)
+    B = jax.jacfwd(lambda uu: srbd_step(params, x, uu, enable, dt))(u)
     return A, B, f
 
 

@@ -42,7 +42,8 @@ from cheeta_mpc_tpu.models.centroidal import (GRAVITY, CentroidalParams,
                                               centroidal_step, linearize_step,
                                               pack_state, rollout,
                                               unpack_input, unpack_state)
-from cheeta_mpc_tpu.solvers.scp import ScpSettings, solve_nonlinear_ocp
+from cheeta_mpc_tpu.solvers.scp import (ScpSettings, make_performance,
+                                        solve_nonlinear_ocp)
 
 
 class CentroidalMpcConfig(NamedTuple):
@@ -78,6 +79,11 @@ class CentroidalSolution:
     u_traj: jnp.ndarray  # (N, nu)
     merit: jnp.ndarray
     qp_mu: jnp.ndarray
+    gains_K: jnp.ndarray  # (N, nu, nx) Riccati feedback of the last QP
+    gains_P: jnp.ndarray  # (N+1, nx, nx) value-function Hessians
+    gains_p: jnp.ndarray  # (N+1, nx) value-function gradients
+    performance: object  # PerformanceIndex at the final iterate
+    convergence: jnp.ndarray  # int32 CONV_* code
 
 
 class _Refs(NamedTuple):
@@ -117,14 +123,13 @@ def _unpack_reference_inputs(cfg: CentroidalMpcConfig, state, des_state,
     des_com_vel = des_state[per_node:2 * per_node].reshape(N + 1, 3)
     des_ang_mom = des_state[2 * per_node:3 * per_node].reshape(N + 1, 3)
 
+    # Static per-leg layout: reshape once instead of per-leg dynamic slices
+    # (each gather is a separate kernel — kernel count dominates the batch-1
+    # latency of this tiny prologue on TPU).
     leg_stride = 4 * N + 3
-    offs = jnp.arange(nl) * leg_stride
-    enable = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(des_inputs, (o,), (N,)))(offs)  # (nl,N)
-    des_foot_pos = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(des_inputs, (o + N,),
-                                        (3 * (N + 1),)))(offs)
-    des_foot_pos = des_foot_pos.reshape(nl, N + 1, 3)
+    per_leg = des_inputs[:nl * leg_stride].reshape(nl, leg_stride)
+    enable = per_leg[:, :N]  # (nl, N)
+    des_foot_pos = per_leg[:, N:N + 3 * (N + 1)].reshape(nl, N + 1, 3)
 
     stance_count = jnp.sum(enable, axis=0)  # (N,)
     fz_des = cfg.mass * GRAVITY / jnp.maximum(stance_count, 1.0)
@@ -250,12 +255,18 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
     The returned function is pure; batch it with ``jax.vmap`` and shard with
     ``jax.jit(..., in_shardings=...)`` over a mesh for multi-chip scaling.
     """
+    import numpy as np
+    # Keep build-time constants as NUMPY, not device arrays: a jitted
+    # closure capturing a pre-existing device buffer is lowered with the
+    # constant as a hidden runtime argument, which on the axon/IFRT-proxy
+    # transport forces every execute onto a ~20 ms slow dispatch path (and
+    # degrades the whole session). numpy constants are baked into the HLO.
     params = CentroidalParams.create(cfg.mass, cfg.num_legs, cfg.dt,
-                                     jnp.asarray(cfg.mu, cfg.dtype))
-    params = jax.tree.map(lambda a: jnp.asarray(a, cfg.dtype), params)
+                                     np.asarray(cfg.mu))
+    params = jax.tree.map(lambda a: np.asarray(a, cfg.dtype), params)
     N, nl = cfg.horizon, cfg.num_legs
     nx, nu = params.nx, params.nu
-    ks = jnp.arange(N + 1)
+    ks = np.arange(N + 1, dtype=np.int32)
 
     def total_cost(x_traj, u_traj, refs):
         stage = jax.vmap(
@@ -265,19 +276,25 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
                            jnp.zeros((nu,), cfg.dtype), refs, True)
         return jnp.sum(stage) + term
 
-    def merit(x_traj, u_traj, refs):
-        # Exact-penalty merit: cost + rho * (defect L1 + constraint viol L1).
-        cost = total_cost(x_traj, u_traj, refs)
-        xn = jax.vmap(lambda x, u, e: centroidal_step(params, x, u, e))(
-            x_traj[:-1], u_traj, refs.enable)
-        defect = jnp.sum(jnp.abs(xn - x_traj[1:]))
-        con = _build_constraints(cfg, params, refs, x_traj, u_traj)
-        # In deviation coords around (x_traj, u_traj), dz = 0: violation is
-        # simply how far 0 lies outside [lg, ug].
-        viol = jnp.sum(con.mask * (jnp.maximum(con.lg, 0.0)
-                                   + jnp.maximum(-con.ug, 0.0)))
-        rho = jnp.asarray(1e3, cfg.dtype)
-        return cost + rho * (defect + viol)
+    def make_perf(refs):
+        """PerformanceIndex callback (cost + exact-L1-penalty merit +
+        violation components) for the filter line search."""
+
+        def dyn_defects(x_traj, u_traj):
+            xn = jax.vmap(lambda x, u, e: centroidal_step(params, x, u, e))(
+                x_traj[:-1], u_traj, refs.enable)
+            return xn - x_traj[1:]
+
+        def ineq_violations(x_traj, u_traj):
+            # In deviation coords around (x_traj, u_traj), dz = 0: violation
+            # is how far 0 lies outside [lg, ug].
+            con = _build_constraints(cfg, params, refs, x_traj, u_traj)
+            return con.mask * (jnp.maximum(con.lg, 0.0)
+                               + jnp.maximum(-con.ug, 0.0))
+
+        return make_performance(
+            total_cost=lambda x, u: total_cost(x, u, refs),
+            dyn_defects=dyn_defects, ineq_violations=ineq_violations)
 
     def linearize(x_traj, u_traj, refs):
         A, B, f = jax.vmap(
@@ -319,7 +336,7 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
 
         res = solve_nonlinear_ocp(
             linearize=lambda x, u: linearize(x, u, refs),
-            merit=lambda x, u: merit(x, u, refs),
+            performance=make_perf(refs),
             x_init=x_init, u_init=u_init, settings=scp)
 
         _, _, _, foot_pos, _ = unpack_state(params, res.x)  # (N+1, nl, 3)
@@ -330,7 +347,9 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
             contact_force=f_eff.transpose(1, 2, 0),
             com_pos=res.x[:, 0:3].T, com_vel=res.x[:, 3:6].T,
             ang_mom=res.x[:, 6:9].T,
-            x_traj=res.x, u_traj=res.u, merit=res.merit, qp_mu=res.qp_mu)
+            x_traj=res.x, u_traj=res.u, merit=res.merit, qp_mu=res.qp_mu,
+            gains_K=res.gains_K, gains_P=res.gains_P, gains_p=res.gains_p,
+            performance=res.performance, convergence=res.convergence)
 
     return solve
 

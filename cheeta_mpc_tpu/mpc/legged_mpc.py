@@ -39,7 +39,8 @@ from cheeta_mpc_tpu.models.srbd_legged import (GRAVITY, NU, NX, SrbdParams,
                                                unpack_srbd_state,
                                                weight_compensating_input)
 from cheeta_mpc_tpu.ops.ocpqp import IpmSettings, solve_ocp_qp
-from cheeta_mpc_tpu.solvers.scp import ScpSettings, solve_nonlinear_ocp
+from cheeta_mpc_tpu.solvers.scp import (ScpSettings, make_performance,
+                                        solve_nonlinear_ocp)
 
 NL = 4
 NC_EQ = 16  # 3 velocity rows/leg (stance) + 1 normal-velocity row/leg (swing)
@@ -54,12 +55,22 @@ class LeggedMpcConfig(NamedTuple):
     friction_mu: float = 0.5  # task.info frictionConeSoftConstraint
     position_error_gain: float = 20.0  # task.info model_settings
     force_max: float = 700.0
+    # Friction treatment: 'soft' = the reference's configuration (smoothed
+    # SOC under a relaxed log barrier, FrictionConeConstraint.cpp +
+    # task.info:215-222 — no inequality rows reach the QP, the stage-equality
+    # Riccati solves exactly); 'pyramid' = hard 5-row pyramid enforced by the
+    # interior-point QP (strict physics; slower).
+    cone_mode: str = 'pyramid'
+    barrier_mu: float = 0.1  # task.info frictionConeSoftConstraint.mu
+    barrier_delta: float = 5.0  # .delta
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def from_task_info(cls, task_info_path: str, horizon: Optional[int] = None,
+                       cone_mode: str = 'soft',
                        dtype=jnp.float32) -> "LeggedMpcConfig":
-        """Ingest the reference's task.info verbatim (config layer parity)."""
+        """Ingest the reference's task.info verbatim (config layer parity).
+        Defaults to the soft cone — the reference task's own treatment."""
         from cheeta_mpc_tpu.utils.info_config import as_matrix, load_info
         tree = load_info(task_info_path)
         Q = as_matrix(tree["Q"])
@@ -68,16 +79,19 @@ class LeggedMpcConfig(NamedTuple):
         dt = float(ms["dt"])
         T = float(tree["mpc"]["timeHorizon"])
         N = horizon if horizon is not None else int(round(T / dt))
+        fc = tree["frictionConeSoftConstraint"]
         return cls(
             params=SrbdParams(dt=dt, integrator=str(
                 ms.get("integratorType", "RK2")).lower()),
             horizon=N,
             q_diag=tuple(np.diag(Q).tolist()),
             r_diag=tuple(np.diag(R).tolist()),
-            friction_mu=float(
-                tree["frictionConeSoftConstraint"]["frictionCoefficient"]),
+            friction_mu=float(fc["frictionCoefficient"]),
             position_error_gain=float(
                 tree["model_settings"]["positionErrorGain"]),
+            cone_mode=cone_mode,
+            barrier_mu=float(fc.get("mu", 0.1)),
+            barrier_delta=float(fc.get("delta", 5.0)),
             dtype=dtype)
 
 
@@ -89,6 +103,10 @@ class LeggedSolution(NamedTuple):
     gains_K: jnp.ndarray  # (N, 24, 24)
     merit: jnp.ndarray
     qp_mu: jnp.ndarray
+    gains_P: jnp.ndarray  # (N+1, 24, 24) value-function Hessians
+    gains_p: jnp.ndarray  # (N+1, 24) value-function gradients
+    performance: object  # PerformanceIndex at the final iterate
+    convergence: jnp.ndarray  # int32 CONV_* code
 
 
 def _pyramid(mu, dtype):
@@ -109,13 +127,24 @@ def build_legged_solver(cfg: LeggedMpcConfig,
         z_pos_ref, z_vel_ref: (N, 4) swing-foot height/velocity references
             from the swing planner (SwingTrajectoryPlanner.sample_grid).
     """
+    from cheeta_mpc_tpu.mpc.friction_cone import (FrictionConeConfig,
+                                                  RelaxedBarrierConfig,
+                                                  barrier_cost_quadratic,
+                                                  cone_value, relaxed_barrier)
+
     p = cfg.params
     N = cfg.horizon
     dt_ = cfg.dtype
-    Qd = jnp.asarray(cfg.q_diag, dt_)
-    Rd = jnp.asarray(cfg.r_diag, dt_)
+    # numpy (not device) constants: captured device buffers force the
+    # axon/IFRT-proxy dispatch onto a ~20 ms slow path (see
+    # CentroidalParams.create).
+    Qd = np.asarray(cfg.q_diag, dt_)
+    Rd = np.asarray(cfg.r_diag, dt_)
     gain = cfg.position_error_gain
-    pyr = _pyramid(cfg.friction_mu, dt_)
+    pyr = np.asarray(_pyramid(cfg.friction_mu, dt_))
+    soft = cfg.cone_mode == 'soft'
+    cone_cfg = FrictionConeConfig(friction_coefficient=cfg.friction_mu)
+    bar_cfg = RelaxedBarrierConfig(mu=cfg.barrier_mu, delta=cfg.barrier_delta)
 
     def node_eq_constraint(x, u, enable, zp_ref, zv_ref):
         """(16,) equality values at a node (mask applied by caller)."""
@@ -136,8 +165,15 @@ def build_legged_solver(cfg: LeggedMpcConfig,
         dx = x_traj - x_ref
         u_ref = jax.vmap(u_ref_of)(enable_table)
         du = u_traj - u_ref
-        return (0.5 * jnp.sum(dx * Qd * dx)
-                + 0.5 * jnp.sum(du * Rd * du))
+        c = (0.5 * jnp.sum(dx * Qd * dx)
+             + 0.5 * jnp.sum(du * Rd * du))
+        if soft:
+            # Relaxed-barrier soft cone on stance-leg forces (the reference
+            # task's friction treatment, LeggedRobotInterface.cpp:313-325).
+            F = u_traj[:, :3 * NL].reshape(N, NL, 3)
+            h = cone_value(cone_cfg, F)
+            c = c + jnp.sum(enable_table * relaxed_barrier(bar_cfg, h))
+        return c
 
     def build_eq(x_traj, u_traj, enable_table, z_pos_ref, z_vel_ref):
         def node(x, u, e, zp, zv):
@@ -172,12 +208,19 @@ def build_legged_solver(cfg: LeggedMpcConfig,
                                mask=mask)
 
     def solve(x0, x_ref_traj, enable_table, z_pos_ref, z_vel_ref,
-              warm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+              warm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+              dts: Optional[jnp.ndarray] = None):
+        """``dts``: optional (N,) per-interval durations from an
+        event-aligned grid (solvers/discretization.discretize_fixed — the
+        reference's timeDiscretizationWithEvents role); None = uniform
+        params.dt."""
         x0 = jnp.asarray(x0, dt_)
         x_ref_traj = jnp.asarray(x_ref_traj, dt_)
         enable_table = jnp.asarray(enable_table, dt_)
         z_pos_ref = jnp.asarray(z_pos_ref, dt_)
         z_vel_ref = jnp.asarray(z_vel_ref, dt_)
+        dts_v = (jnp.full((N,), p.dt, dt_) if dts is None
+                 else jnp.asarray(dts, dt_))
 
         if warm is None:
             # Reference LeggedRobotInitializer: hold state, weight-comp input.
@@ -189,40 +232,64 @@ def build_legged_solver(cfg: LeggedMpcConfig,
 
         def linearize(x_traj, u_traj):
             A, B, f = jax.vmap(
-                lambda x, u, e: srbd_linearize(p, x, u, e)
-            )(x_traj[:-1], u_traj, enable_table)
+                lambda x, u, e, d: srbd_linearize(p, x, u, e, d)
+            )(x_traj[:-1], u_traj, enable_table, dts_v)
             dyn = DynamicsLin(A=A, B=B, b=f - x_traj[1:])
             dx = x_traj - x_ref_traj
             u_ref = jax.vmap(u_ref_of)(enable_table)
             du = u_traj - u_ref
             Qm = jnp.tile(jnp.diag(Qd)[None], (N + 1, 1, 1))
             Rm = jnp.tile(jnp.diag(Rd)[None], (N, 1, 1))
-            cost = CostApprox(Q=Qm, q=Qd * dx, R=Rm, r=Rd * du,
+            r_lin = Rd * du
+            if soft:
+                # Analytic quadratic of the relaxed-barrier cone cost on the
+                # per-leg force blocks (chain rule with the NSD-corrected
+                # constraint Hessian, FrictionConeConstraint.cpp:128-210).
+                F = u_traj[:, :3 * NL].reshape(N, NL, 3)
+                _, bgrad, bhess = barrier_cost_quadratic(cone_cfg, bar_cfg, F)
+                bgrad = bgrad * enable_table[..., None]
+                bhess = bhess * enable_table[..., None, None]
+                blk = jnp.einsum('nlij,lm->nlimj', bhess,
+                                 jnp.eye(NL, dtype=dt_))
+                Rm = Rm.at[:, :3 * NL, :3 * NL].add(
+                    blk.reshape(N, 3 * NL, 3 * NL))
+                r_lin = r_lin.at[:, :3 * NL].add(bgrad.reshape(N, 3 * NL))
+            cost = CostApprox(Q=Qm, q=Qd * dx, R=Rm, r=r_lin,
                               S=jnp.zeros((N, NU, NX), dt_))
             eq = build_eq(x_traj, u_traj, enable_table, z_pos_ref, z_vel_ref)
-            con = build_ineq(u_traj, enable_table)
+            con = None if soft else build_ineq(u_traj, enable_table)
             return OcpQpData(dyn=dyn, cost=cost, con=con,
                              dx0=jnp.zeros((NX,), dt_), eq=eq)
 
-        def merit(x_traj, u_traj):
-            cost = total_cost(x_traj, u_traj, x_ref_traj, enable_table)
-            xn = jax.vmap(lambda x, u, e: srbd_step(p, x, u, e))(
-                x_traj[:-1], u_traj, enable_table)
-            defect = jnp.sum(jnp.abs(xn - x_traj[1:]))
-            eq = build_eq(x_traj, u_traj, enable_table, z_pos_ref, z_vel_ref)
-            eq_viol = jnp.sum(jnp.abs(eq.mask * eq.e))
-            con = build_ineq(u_traj, enable_table)
-            ineq_viol = jnp.sum(con.mask * (jnp.maximum(con.lg, 0.0)
-                                            + jnp.maximum(-con.ug, 0.0)))
-            rho = jnp.asarray(1e3, dt_)
-            return cost + rho * (defect + eq_viol + ineq_viol)
+        def dyn_defects(x_traj, u_traj):
+            xn = jax.vmap(lambda x, u, e, d: srbd_step(p, x, u, e, d))(
+                x_traj[:-1], u_traj, enable_table, dts_v)
+            return xn - x_traj[1:]
 
-        res = solve_nonlinear_ocp(linearize, merit, x_init, u_init, scp)
+        def eq_values(x_traj, u_traj):
+            eq = build_eq(x_traj, u_traj, enable_table, z_pos_ref, z_vel_ref)
+            return eq.mask * eq.e
+
+        def ineq_violations(x_traj, u_traj):
+            con = build_ineq(u_traj, enable_table)
+            return con.mask * (jnp.maximum(con.lg, 0.0)
+                               + jnp.maximum(-con.ug, 0.0))
+
+        performance = make_performance(
+            total_cost=lambda x, u: total_cost(x, u, x_ref_traj,
+                                               enable_table),
+            dyn_defects=dyn_defects, eq_values=eq_values,
+            ineq_violations=None if soft else ineq_violations)
+
+        res = solve_nonlinear_ocp(linearize, performance, x_init, u_init, scp)
         forces = (res.u[:, :12].reshape(N, NL, 3)
                   * enable_table[:, :, None])
         return LeggedSolution(x_traj=res.x, u_traj=res.u, forces=forces,
                               joint_vel=res.u[:, 12:], gains_K=res.gains_K,
-                              merit=res.merit, qp_mu=res.qp_mu)
+                              merit=res.merit, qp_mu=res.qp_mu,
+                              gains_P=res.gains_P, gains_p=res.gains_p,
+                              performance=res.performance,
+                              convergence=res.convergence)
 
     return solve
 

@@ -36,6 +36,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cheeta_mpc_tpu.core.types import (OcpQpData, OcpQpSolution, RiccatiGains,
                                        StageConstraint, StageEquality)
@@ -174,10 +175,13 @@ def solve_ocp_qp(data: OcpQpData,
         from cheeta_mpc_tpu.ops.riccati import solve_eq_lqr
         return solve_eq_lqr(data, reg=settings.reg)
     if data.eq is None:
-        zeq = StageEquality(C=jnp.zeros((Nh, 0, data.dyn.nx), dt),
-                            D=jnp.zeros((Nh, 0, data.dyn.nu), dt),
-                            e=jnp.zeros((Nh, 0), dt),
-                            mask=jnp.zeros((Nh, 0), dt))
+        # numpy zeros: eager jnp constants become hidden device-buffer args
+        # of the executable, which trips the axon/IFRT-proxy dispatch onto a
+        # ~20 ms slow path; numpy lowers as HLO literals.
+        zeq = StageEquality(C=np.zeros((Nh, 0, data.dyn.nx), dt),
+                            D=np.zeros((Nh, 0, data.dyn.nu), dt),
+                            e=np.zeros((Nh, 0), dt),
+                            mask=np.zeros((Nh, 0), dt))
         data = data.replace(eq=zeq)
     eq = data.eq
     # Least-squares equality-dual operator for the stationarity metric
@@ -204,8 +208,8 @@ def solve_ocp_qp(data: OcpQpData,
 
     # --- initialization -----------------------------------------------------
     if warm is None:
-        dx = jnp.zeros((data.dyn.horizon + 1, data.dyn.nx), dt)
-        du = jnp.zeros((data.dyn.horizon, data.dyn.nu), dt)
+        dx = np.zeros((data.dyn.horizon + 1, data.dyn.nx), dt)
+        du = np.zeros((data.dyn.horizon, data.dyn.nu), dt)
         g = _constraint_values(con, dx, du)
         s_l = jnp.where(m > 0, jnp.maximum(g - con.lg, settings.s0_min), 1.0)
         s_u = jnp.where(m > 0, jnp.maximum(con.ug - g, settings.s0_min), 1.0)

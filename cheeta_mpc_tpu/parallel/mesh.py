@@ -28,6 +28,45 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host runtime init (`jax.distributed.initialize`): hosts meet at
+    the coordinator over DCN, after which ``jax.devices()`` is the *global*
+    device list and a mesh built from it spans hosts. The role the reference
+    fills with ROS networking (SURVEY.md §2.8) for its process split; here it
+    is the scaling fabric for the scenario batch. Returns the process index.
+
+    No-op (returns 0) when called without arguments in a single-process
+    setting — callers can use it unconditionally."""
+    if coordinator_address is None and num_processes is None:
+        return 0
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
+def make_global_mesh(axis_name: str = "batch") -> Mesh:
+    """1-D mesh over ALL devices of ALL processes (multi-host: requires
+    initialize_distributed first). Identical to make_mesh on one host."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def host_local_batch_to_global(mesh: Mesh, tree, axis_name: str = "batch"):
+    """Assemble a global batch-sharded array from per-process local shards
+    (each process supplies batch/num_processes rows) — the multi-host feed
+    path: observations are produced host-locally, solved globally."""
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def one(x):
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return jax.tree.map(one, tree)
+
+
 def shard_batch(mesh: Mesh, tree, axis_name: str = "batch"):
     """Place a batched pytree with its leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis_name))

@@ -1,1 +1,3 @@
-from cheeta_mpc_tpu.solvers.scp import ScpSettings, solve_nonlinear_ocp  # noqa: F401
+from cheeta_mpc_tpu.solvers.scp import (ScpResult, ScpSettings,  # noqa: F401
+                                        StepInfo, make_performance,
+                                        solve_nonlinear_ocp)

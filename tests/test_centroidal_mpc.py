@@ -171,15 +171,13 @@ def test_stance_forces_near_weight(solution64):
         assert abs(fz_total - MASS * 9.81) < 0.4 * MASS * 9.81
 
 
-def test_nlp_kkt_stationarity(solution64):
-    """First-order optimality of the *nonlinear* program at the solution.
+def test_sqp_fixed_point(solution64):
+    """Self-consistency: extra SQP/IPM iterations do not move the forces.
 
-    Builds the Lagrangian of the true NLP (nonlinear dynamics equalities via
-    costates; active inequality duals from the QP solve are not exposed, so
-    stationarity is checked on the *unconstrained-coordinate* directions:
-    project the gradient onto the tangent space of the dynamics at inactive
-    coordinates). Here we use a simpler sufficient check: re-run one extra
-    SQP iteration and require the iterate to be a fixed point (step < 1e-6).
+    This is a fixed-point check only — *independent* optimality
+    certification is tests/test_golden_grf.py, which matches the GRFs
+    against a single-shooting trust-constr solve of the same NLP at 1e-3
+    (observed agreement ~1e-7).
     """
     solve_more = jax.jit(build_centroidal_solver(
         CFG64, ScpSettings(iterations=8, ipm=IpmSettings(iters=30))))
