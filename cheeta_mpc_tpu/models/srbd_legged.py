@@ -126,7 +126,9 @@ def weight_compensating_input(params: SrbdParams, enable, dtype=jnp.float32):
     """Reference LeggedRobotInitializer / weightCompensatingInput
     (utils.h:63-77): gravity split equally over stance feet, zero joint
     velocity."""
+    import numpy as np
     stance = jnp.maximum(jnp.sum(enable), 1.0)
-    fz = params.desc.mass * GRAVITY / stance
-    forces = jnp.zeros((4, 3), dtype).at[:, 2].set(enable * fz)
-    return jnp.concatenate([forces.reshape(-1), jnp.zeros(12, dtype)])
+    fz = enable * (params.desc.mass * GRAVITY / stance)  # (4,)
+    zc = jnp.zeros_like(fz)
+    forces = jnp.stack([zc, zc, fz], axis=-1)  # (4, 3)
+    return jnp.concatenate([forces.reshape(-1), np.zeros(12, dtype)])

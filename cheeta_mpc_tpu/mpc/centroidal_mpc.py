@@ -133,8 +133,9 @@ def _unpack_reference_inputs(cfg: CentroidalMpcConfig, state, des_state,
 
     stance_count = jnp.sum(enable, axis=0)  # (N,)
     fz_des = cfg.mass * GRAVITY / jnp.maximum(stance_count, 1.0)
-    des_force = jnp.zeros((nl, N, 3), dt_)
-    des_force = des_force.at[:, :, 2].set(enable * fz_des[None, :])
+    fz = enable * fz_des[None, :]  # (nl, N)
+    des_force = jnp.stack(
+        [jnp.zeros_like(fz), jnp.zeros_like(fz), fz], axis=-1)
 
     # Initial F_prev: the reference's diff() starts at F_0 (no rate cost on
     # the first step), so F_prev_0 is irrelevant; use the desired force so the
@@ -152,7 +153,8 @@ def _stage_cost(cfg: CentroidalMpcConfig, params: CentroidalParams, k, x, u,
     Exactly the reference objective (CentroidalMPC.cpp:203-232) mapped onto
     the augmented state; see module docstring for the z-weight quirk.
     """
-    w = jnp.asarray(cfg.weights, cfg.dtype)
+    import numpy as onp
+    w = onp.asarray(cfg.weights, cfg.dtype)
     nl = cfg.num_legs
     com_pos, com_vel, ang_mom, foot_pos, f_prev = unpack_state(params, x)
 
@@ -192,9 +194,9 @@ def _friction_pyramid(mu, dtype):
                       [0.0, 1.0, mu], [0.0, 0.0, 1.0]], dtype)
 
 
-def _build_constraints(cfg: CentroidalMpcConfig, params: CentroidalParams,
-                       refs: _Refs, x_traj, u_traj) -> StageConstraint:
-    """Stage constraints in deviation coordinates around the iterate.
+def _constraint_constants(cfg: CentroidalMpcConfig, params: CentroidalParams):
+    """Static constraint matrices (numpy, so they lower as HLO literals —
+    eager device constants trip the axon transport's slow dispatch path).
 
     Row layout per node (ng = 5*nl + 3*nl):
       [0, 5nl)       friction pyramid rows, leg-major (masked by enable;
@@ -203,48 +205,59 @@ def _build_constraints(cfg: CentroidalMpcConfig, params: CentroidalParams,
                      box to foot positions at nodes 1..N, CentroidalMPC.cpp:
                      196-198)
     """
+    import numpy as onp
     nl, N = cfg.num_legs, cfg.horizon
     dt_ = cfg.dtype
     nx, nu = params.nx, params.nu
     ng = 8 * nl
-
-    C = jnp.zeros((N + 1, ng, nx), dt_)
-    D = jnp.zeros((N + 1, ng, nu), dt_)
-    lg = jnp.zeros((N + 1, ng), dt_)
-    ug = jnp.zeros((N + 1, ng), dt_)
-    mask = jnp.zeros((N + 1, ng), dt_)
-
-    # --- friction rows (input-only; D selects u_F of leg i) ---
-    mu = jnp.asarray(cfg.mu, dt_)
-    pyr = jax.vmap(lambda m: _friction_pyramid(m, dt_))(mu)  # (nl, 5, 3)
+    C = onp.zeros((N + 1, ng, nx), dt_)
+    D = onp.zeros((N + 1, ng, nu), dt_)
+    ug_fr = onp.zeros((N + 1, 5 * nl), dt_)
     for i in range(nl):
-        rows = slice(5 * i, 5 * (i + 1))
-        cols = slice(3 * nl + 3 * i, 3 * nl + 3 * (i + 1))  # u_F_i in input
-        D = D.at[:N, rows, cols].set(jnp.broadcast_to(pyr[i], (N, 5, 3)))
-    force_ub = jnp.array([cfg.force_max] * 4 + [cfg.mass * GRAVITY * nl], dt_)
-    ug = ug.at[:N, 0:5 * nl].set(jnp.tile(force_ub, nl)[None, :])
-    # lower bounds are 0 (already); mask by contact enable per leg.
-    fr_mask = jnp.repeat(refs.enable, 5, axis=1)  # (N, 5nl)
-    mask = mask.at[:N, 0:5 * nl].set(fr_mask)
+        m = float(cfg.mu[i])
+        pyr = onp.array([[-1.0, 0.0, m], [1.0, 0.0, m], [0.0, -1.0, m],
+                         [0.0, 1.0, m], [0.0, 0.0, 1.0]], dt_)
+        D[:N, 5 * i:5 * (i + 1), 3 * nl + 3 * i:3 * nl + 3 * (i + 1)] = pyr
+        C[:, 5 * nl + 3 * i:5 * nl + 3 * (i + 1),
+          9 + 3 * i:9 + 3 * (i + 1)] = onp.eye(3, dtype=dt_)
+    force_ub = onp.array([cfg.force_max] * 4 + [cfg.mass * GRAVITY * nl],
+                         dt_)
+    ug_fr[:N] = onp.tile(force_ub, nl)[None, :]
+    box_mask = onp.zeros((N + 1, 3 * nl), dt_)
+    box_mask[1:] = 1.0  # nodes 1..N only
+    return C, D, ug_fr, box_mask
 
-    # --- footstep box rows (state-only; C selects foot_pos of leg i) ---
-    step_lb = jnp.asarray(cfg.foot_step_lb, dt_)
-    step_ub = jnp.asarray(cfg.foot_step_ub, dt_)
-    for i in range(nl):
-        rows = slice(5 * nl + 3 * i, 5 * nl + 3 * (i + 1))
-        cols = slice(9 + 3 * i, 9 + 3 * (i + 1))  # foot_pos_i in state
-        C = C.at[:, rows, cols].set(jnp.broadcast_to(jnp.eye(3, dtype=dt_),
-                                                     (N + 1, 3, 3)))
-        des_i = refs.des_foot_pos[i]  # (N+1, 3)
-        lg = lg.at[:, rows].set(step_lb[None, :] + des_i)
-        ug = ug.at[:, rows].set(step_ub[None, :] + des_i)
-    mask = mask.at[1:, 5 * nl:].set(1.0)  # nodes 1..N only
+
+def _build_constraints(cfg: CentroidalMpcConfig, params: CentroidalParams,
+                       refs: _Refs, x_traj, u_traj) -> StageConstraint:
+    """Stage constraints in deviation coordinates around the iterate
+    (constants from :func:`_constraint_constants`; bounds/masks assembled by
+    concatenation of traced and literal blocks)."""
+    import numpy as onp
+    nl, N = cfg.num_legs, cfg.horizon
+    dt_ = cfg.dtype
+    C, D, ug_fr, box_mask = _constraint_constants(cfg, params)
+
+    # Bounds: friction rows [0, ug_fr]; box rows des +- step bounds.
+    step_lb = onp.asarray(cfg.foot_step_lb, dt_)
+    step_ub = onp.asarray(cfg.foot_step_ub, dt_)
+    des_box = refs.des_foot_pos.transpose(1, 0, 2).reshape(N + 1, 3 * nl)
+    lg = jnp.concatenate(
+        [onp.zeros((N + 1, 5 * nl), dt_),
+         des_box + onp.tile(step_lb, nl)[None, :]], axis=1)
+    ug = jnp.concatenate(
+        [ug_fr, des_box + onp.tile(step_ub, nl)[None, :]], axis=1)
+    mask = jnp.concatenate(
+        [jnp.concatenate([jnp.repeat(refs.enable, 5, axis=1),
+                          onp.zeros((1, 5 * nl), dt_)], axis=0),
+         box_mask], axis=1)
 
     # Shift to deviation coordinates: lg - g(iterate) <= J dz <= ug - g.
     du_pad = jnp.concatenate([u_traj, jnp.zeros_like(u_traj[:1])], axis=0)
     g_iter = (jnp.einsum('nij,nj->ni', C, x_traj)
               + jnp.einsum('nij,nj->ni', D, du_pad))
-    return StageConstraint(C=C, D=D, lg=lg - g_iter, ug=ug - g_iter, mask=mask)
+    return StageConstraint(C=C, D=D, lg=lg - g_iter, ug=ug - g_iter,
+                           mask=mask)
 
 
 def build_centroidal_solver(cfg: CentroidalMpcConfig,
@@ -273,7 +286,7 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
             lambda k, x, u: _stage_cost(cfg, params, k, x, u, refs, False)
         )(ks[:-1], x_traj[:-1], u_traj)
         term = _stage_cost(cfg, params, ks[-1], x_traj[-1],
-                           jnp.zeros((nu,), cfg.dtype), refs, True)
+                           np.zeros((nu,), cfg.dtype), refs, True)
         return jnp.sum(stage) + term
 
     def make_perf(refs):
@@ -312,7 +325,7 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
 
         Qs, qs, Rs, rs, Ss = jax.vmap(stage_quad)(ks[:-1], x_traj[:-1], u_traj)
         fnN = lambda x: _stage_cost(cfg, params, ks[-1], x,
-                                    jnp.zeros((nu,), cfg.dtype), refs, True)
+                                    np.zeros((nu,), cfg.dtype), refs, True)
         QN = jax.hessian(fnN)(x_traj[-1])
         qN = jax.grad(fnN)(x_traj[-1])
         cost = CostApprox(Q=jnp.concatenate([Qs, QN[None]]),
@@ -320,13 +333,13 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
                           R=Rs, r=rs, S=Ss)
         con = _build_constraints(cfg, params, refs, x_traj, u_traj)
         return OcpQpData(dyn=dyn, cost=cost, con=con,
-                         dx0=jnp.zeros((nx,), cfg.dtype))
+                         dx0=np.zeros((nx,), cfg.dtype))
 
     def solve(state, des_state, des_inputs,
               warm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
         refs = _unpack_reference_inputs(cfg, state, des_state, des_inputs)
         if warm is None:
-            foot_vel0 = jnp.zeros((N, 3 * nl), cfg.dtype)
+            foot_vel0 = np.zeros((N, 3 * nl), cfg.dtype)
             u_f0 = refs.des_force.transpose(1, 0, 2).reshape(N, 3 * nl)
             u_init = jnp.concatenate([foot_vel0, u_f0], axis=-1)
             x_init = rollout(params, refs.x0, u_init, refs.enable)

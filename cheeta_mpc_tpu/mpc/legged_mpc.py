@@ -189,23 +189,26 @@ def build_legged_solver(cfg: LeggedMpcConfig,
                                            z_pos_ref, z_vel_ref)
         return StageEquality(C=C, D=D, e=e_val, mask=mask)
 
+    # Friction-pyramid constraint constants (static per config) — numpy so
+    # they lower as HLO literals, not hidden device-buffer args.
+    D_np = np.zeros((N + 1, NG, NU), dt_)
+    for i in range(NL):
+        D_np[:N, 5 * i:5 * (i + 1), 3 * i:3 * (i + 1)] = pyr
+    C_np = np.zeros((N + 1, NG, NX), dt_)
+    big = 2 * cfg.friction_mu * cfg.force_max + 1.0
+    ub_leg = np.array([big, big, big, big, cfg.force_max], dt_)
+    ug_np = np.tile(np.tile(ub_leg, NL)[None, :], (N + 1, 1))
+    lg_np = np.zeros((N + 1, NG), dt_)
+
     def build_ineq(u_traj, enable_table):
         """Friction pyramid rows in deviation coordinates around u_traj."""
-        D = jnp.zeros((N + 1, NG, NU), dt_)
-        for i in range(NL):
-            D = D.at[:N, 5 * i:5 * (i + 1), 3 * i:3 * (i + 1)].set(
-                jnp.broadcast_to(pyr, (N, 5, 3)))
-        C = jnp.zeros((N + 1, NG, NX), dt_)
-        big = jnp.asarray(2 * cfg.friction_mu * cfg.force_max + 1.0, dt_)
-        ub_leg = jnp.array([big, big, big, big, cfg.force_max], dt_)
-        lg = jnp.zeros((N + 1, NG), dt_)
-        ug = jnp.tile(ub_leg, NL)[None, :] * jnp.ones((N + 1, 1), dt_)
-        mask = jnp.zeros((N + 1, NG), dt_)
-        mask = mask.at[:N].set(jnp.repeat(enable_table, 5, axis=-1))
+        mask = jnp.concatenate(
+            [jnp.repeat(enable_table, 5, axis=-1),
+             np.zeros((1, NG), dt_)], axis=0)
         du_pad = jnp.concatenate([u_traj, jnp.zeros_like(u_traj[:1])], axis=0)
-        g_iter = jnp.einsum('nij,nj->ni', D, du_pad)
-        return StageConstraint(C=C, D=D, lg=lg - g_iter, ug=ug - g_iter,
-                               mask=mask)
+        g_iter = jnp.einsum('nij,nj->ni', D_np, du_pad)
+        return StageConstraint(C=C_np, D=D_np, lg=lg_np - g_iter,
+                               ug=ug_np - g_iter, mask=mask)
 
     def solve(x0, x_ref_traj, enable_table, z_pos_ref, z_vel_ref,
               warm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
@@ -219,7 +222,7 @@ def build_legged_solver(cfg: LeggedMpcConfig,
         enable_table = jnp.asarray(enable_table, dt_)
         z_pos_ref = jnp.asarray(z_pos_ref, dt_)
         z_vel_ref = jnp.asarray(z_vel_ref, dt_)
-        dts_v = (jnp.full((N,), p.dt, dt_) if dts is None
+        dts_v = (np.full((N,), p.dt, dt_) if dts is None
                  else jnp.asarray(dts, dt_))
 
         if warm is None:
@@ -238,8 +241,11 @@ def build_legged_solver(cfg: LeggedMpcConfig,
             dx = x_traj - x_ref_traj
             u_ref = jax.vmap(u_ref_of)(enable_table)
             du = u_traj - u_ref
-            Qm = jnp.tile(jnp.diag(Qd)[None], (N + 1, 1, 1))
-            Rm = jnp.tile(jnp.diag(Rd)[None], (N, 1, 1))
+            # numpy constants (eager jnp consts can trip the axon transport
+            # onto its slow dispatch path); traced terms are added via
+            # pad/concatenate, never scattered into constant bases.
+            Qm = np.tile(np.diag(Qd)[None], (N + 1, 1, 1))
+            Rm = np.tile(np.diag(Rd)[None], (N, 1, 1))
             r_lin = Rd * du
             if soft:
                 # Analytic quadratic of the relaxed-barrier cone cost on the
@@ -250,16 +256,18 @@ def build_legged_solver(cfg: LeggedMpcConfig,
                 bgrad = bgrad * enable_table[..., None]
                 bhess = bhess * enable_table[..., None, None]
                 blk = jnp.einsum('nlij,lm->nlimj', bhess,
-                                 jnp.eye(NL, dtype=dt_))
-                Rm = Rm.at[:, :3 * NL, :3 * NL].add(
-                    blk.reshape(N, 3 * NL, 3 * NL))
-                r_lin = r_lin.at[:, :3 * NL].add(bgrad.reshape(N, 3 * NL))
+                                 np.eye(NL, dtype=dt_))
+                pad_f = NU - 3 * NL
+                Rm = Rm + jnp.pad(blk.reshape(N, 3 * NL, 3 * NL),
+                                  ((0, 0), (0, pad_f), (0, pad_f)))
+                r_lin = r_lin + jnp.pad(bgrad.reshape(N, 3 * NL),
+                                        ((0, 0), (0, pad_f)))
             cost = CostApprox(Q=Qm, q=Qd * dx, R=Rm, r=r_lin,
-                              S=jnp.zeros((N, NU, NX), dt_))
+                              S=np.zeros((N, NU, NX), dt_))
             eq = build_eq(x_traj, u_traj, enable_table, z_pos_ref, z_vel_ref)
             con = None if soft else build_ineq(u_traj, enable_table)
             return OcpQpData(dyn=dyn, cost=cost, con=con,
-                             dx0=jnp.zeros((NX,), dt_), eq=eq)
+                             dx0=np.zeros((NX,), dt_), eq=eq)
 
         def dyn_defects(x_traj, u_traj):
             xn = jax.vmap(lambda x, u, e, d: srbd_step(p, x, u, e, d))(

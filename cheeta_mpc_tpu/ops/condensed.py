@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cheeta_mpc_tpu.core.types import (OcpQpData, OcpQpSolution, RiccatiGains,
                                        symmetrize)
@@ -77,7 +78,7 @@ def condense(data: OcpQpData) -> CondensedQp:
         ph = A @ ph + b
         return (row, ph, k + 1), (row, ph)
 
-    row0 = jnp.zeros((nx, M), dt)
+    row0 = np.zeros((nx, M), dt)
     (_, _, _), (rows, phis) = jax.lax.scan(
         prop, (row0, data.dx0, 0), (dyn.A, dyn.B, dyn.b))
     Phi = jnp.concatenate([row0[None], rows], axis=0)  # (N+1, nx, M)
@@ -87,7 +88,7 @@ def condense(data: OcpQpData) -> CondensedQp:
     QPhi = jnp.einsum('kij,kjm->kim', cost.Q, Phi)
     H = jnp.einsum('kim,kin->mn', Phi, QPhi)
     H = H.reshape(N, nu, N, nu)
-    idx = jnp.arange(N)
+    idx = np.arange(N)
     H = H.at[idx, :, idx, :].add(cost.R)
     H = H.reshape(M, M)
     SPhi = jnp.einsum('kij,kjm->kim', cost.S, Phi[:-1]).reshape(M, M)
@@ -100,8 +101,8 @@ def condense(data: OcpQpData) -> CondensedQp:
     g0 = g0 + jnp.einsum('kim,ki->m', Phi, y)
 
     if con is None:
-        z = jnp.zeros((0,), dt)
-        return CondensedQp(H=H, g0=g0, Ghat=jnp.zeros((0, M), dt), ghat=z,
+        z = np.zeros((0,), dt)
+        return CondensedQp(H=H, g0=g0, Ghat=np.zeros((0, M), dt), ghat=z,
                            lg=z, ug=z, mask=z, Phi=Phi, phi=phi)
 
     ng = con.ng
@@ -187,7 +188,7 @@ def solve_ocp_qp_condensed(data: OcpQpData,
     mu_tol = settings.mu_tol if settings.mu_tol > 0 else (
         1e-9 if dt == jnp.float64 else 1e-4)
     w_max = settings.w_max if dt == jnp.float64 else min(settings.w_max, 1e6)
-    eyeM = jnp.eye(M, dtype=dt)
+    eyeM = np.eye(M, dtype=dt)
 
     if ng == 0:
         # Unconstrained: one dense solve (or defer to Riccati for gains).

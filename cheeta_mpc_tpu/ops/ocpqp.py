@@ -301,10 +301,10 @@ def solve_ocp_qp(data: OcpQpData,
         return (new, gains, mu, stat_carry), None
 
     dummy_gains = RiccatiGains(
-        K=jnp.zeros((data.dyn.horizon, data.dyn.nu, data.dyn.nx), dt),
-        k=jnp.zeros((data.dyn.horizon, data.dyn.nu), dt),
-        P=jnp.zeros((data.dyn.horizon + 1, data.dyn.nx, data.dyn.nx), dt),
-        p=jnp.zeros((data.dyn.horizon + 1, data.dyn.nx), dt))
+        K=np.zeros((data.dyn.horizon, data.dyn.nu, data.dyn.nx), dt),
+        k=np.zeros((data.dyn.horizon, data.dyn.nu), dt),
+        P=np.zeros((data.dyn.horizon + 1, data.dyn.nx, data.dyn.nx), dt),
+        p=np.zeros((data.dyn.horizon + 1, data.dyn.nx), dt))
     stat0 = _stationarity_norm(data, state0, LiD)
     (state, gains, mu, _), _ = jax.lax.scan(
         iteration, (state0, dummy_gains, jnp.asarray(jnp.inf, dt), stat0),

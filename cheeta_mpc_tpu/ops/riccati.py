@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cheeta_mpc_tpu.core.types import (CostApprox, DynamicsLin, OcpQpData,
                                        OcpQpSolution, RiccatiGains, symmetrize)
@@ -79,7 +80,7 @@ def riccati_factorize(dyn: DynamicsLin, Q: jnp.ndarray, R: jnp.ndarray,
     """Backward matrix pass. Q: (N+1,nx,nx), R: (N,nu,nu), S: (N,nu,nx)."""
     nx = Q.shape[-1]
     nu = R.shape[-1]
-    eye_u = jnp.eye(nu, dtype=R.dtype)
+    eye_u = np.eye(nu, dtype=R.dtype)  # numpy literal, not a buffer arg
     # Pack dynamics as M = [A B] (nx, nx+nu) once for the whole horizon.
     M = jnp.concatenate([dyn.A, dyn.B], axis=-1)
 
@@ -183,7 +184,7 @@ def riccati_factorize_eq(dyn: DynamicsLin, Q, R, S, Ceq, Deq, eq_mask,
     """
     nx = Q.shape[-1]
     nu = R.shape[-1]
-    eye_u = jnp.eye(nu, dtype=R.dtype)
+    eye_u = np.eye(nu, dtype=R.dtype)  # numpy literal, not a buffer arg
     M = jnp.concatenate([dyn.A, dyn.B], axis=-1)
 
     def body(P_next, stage):
@@ -249,12 +250,12 @@ def solve_eq_lqr(data: OcpQpData, reg: float = 0.0) -> OcpQpSolution:
     N1 = cost.Q.shape[0]
     ng = 0 if data.con is None else data.con.ng
     zshape = (N1, ng)
-    zero = jnp.zeros((), dx.dtype)
+    zero = np.zeros((), dx.dtype)
     return OcpQpSolution(
         dx=dx, du=du, gains=gains,
-        lam_l=jnp.zeros(zshape, dx.dtype), lam_u=jnp.zeros(zshape, dx.dtype),
-        s_l=jnp.ones(zshape, dx.dtype), s_u=jnp.ones(zshape, dx.dtype),
-        iterations=jnp.zeros((), jnp.int32), mu=zero, stat_res=zero,
+        lam_l=np.zeros(zshape, dx.dtype), lam_u=np.zeros(zshape, dx.dtype),
+        s_l=np.ones(zshape, dx.dtype), s_u=np.ones(zshape, dx.dtype),
+        iterations=np.zeros((), np.int32), mu=zero, stat_res=zero,
         ineq_res=zero, eq_res=zero)
 
 
@@ -271,12 +272,12 @@ def solve_lqr(data: OcpQpData, reg: float = 0.0) -> OcpQpSolution:
     N1 = cost.Q.shape[0]
     ng = 0 if data.con is None else data.con.ng
     zshape = (N1, ng)
-    zero = jnp.zeros((), dx.dtype)
+    zero = np.zeros((), dx.dtype)
     return OcpQpSolution(
         dx=dx, du=du, gains=gains,
-        lam_l=jnp.zeros(zshape, dx.dtype), lam_u=jnp.zeros(zshape, dx.dtype),
-        s_l=jnp.ones(zshape, dx.dtype), s_u=jnp.ones(zshape, dx.dtype),
-        iterations=jnp.zeros((), jnp.int32), mu=zero, stat_res=zero,
+        lam_l=np.zeros(zshape, dx.dtype), lam_u=np.zeros(zshape, dx.dtype),
+        s_l=np.ones(zshape, dx.dtype), s_u=np.ones(zshape, dx.dtype),
+        iterations=np.zeros((), np.int32), mu=zero, stat_res=zero,
         ineq_res=zero, eq_res=zero)
 
 

@@ -20,6 +20,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cheeta_mpc_tpu.core.types import DynamicsLin
 from cheeta_mpc_tpu.ops.riccati import (riccati_factorize, riccati_vector,
@@ -62,7 +63,7 @@ def solve_ddp(step: Callable, stage_cost: Callable, terminal_cost: Callable,
     N, nu = u_init.shape
     nx = x0.shape[0]
     ks = jnp.arange(N)
-    alphas = jnp.asarray(settings.alphas, x0.dtype)
+    alphas = np.asarray(settings.alphas, x0.dtype)
 
     def rollout_open(u_traj):
         def body(x, ku):
@@ -129,6 +130,6 @@ def solve_ddp(step: Callable, stage_cost: Callable, terminal_cost: Callable,
     x_init = rollout_open(u_init)
     (x, u, K), costs = jax.lax.scan(
         iteration, (x_init, u_init,
-                    jnp.zeros((N, nu, nx), x0.dtype)),
+                    np.zeros((N, nu, nx), x0.dtype)),
         None, length=settings.iterations)
     return DdpResult(x=x, u=u, K=K, cost=costs[-1])

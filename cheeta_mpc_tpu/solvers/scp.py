@@ -43,6 +43,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cheeta_mpc_tpu.core.types import (OcpQpData, PerformanceIndex,
                                        RiccatiGains)
@@ -139,7 +140,7 @@ def solve_nonlinear_ocp(
     :class:`PerformanceIndex` at an iterate with ``merit`` already combined
     (cost + penalty on violations) — the line-search metric.
     """
-    alphas = jnp.asarray(settings.alphas, x_init.dtype)
+    alphas = np.asarray(settings.alphas, x_init.dtype)
     n_alpha = len(settings.alphas)
     if settings.qp_backend == 'condensed':
         from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
@@ -181,7 +182,9 @@ def solve_nonlinear_ocp(
         accs, perfs, stypes = jax.vmap(eval_alpha)(alphas)
         any_acc = jnp.any(accs)
         best = jnp.where(any_acc, jnp.argmax(accs), 0)
-        a = jnp.where(any_acc, alphas[best], 0.0)  # ZERO step if all rejected
+        # ZERO step if all candidates rejected (jnp.asarray: traced index
+        # into a numpy constant is not allowed).
+        a = jnp.where(any_acc, jnp.asarray(alphas)[best], 0.0)
         x_new = x + a * sol.dx
         u_new = u + a * sol.du
         perf_best = jax.tree.map(lambda arr: arr[best], perfs)
