@@ -110,8 +110,10 @@ class LeggedSolution(NamedTuple):
 
 
 def _pyramid(mu, dtype):
-    return jnp.array([[-1.0, 0.0, mu], [1.0, 0.0, mu], [0.0, -1.0, mu],
-                      [0.0, 1.0, mu], [0.0, 0.0, 1.0]], dtype)
+    # numpy: build-time constant, usable even if the builder runs under an
+    # outer trace.
+    return np.array([[-1.0, 0.0, mu], [1.0, 0.0, mu], [0.0, -1.0, mu],
+                     [0.0, 1.0, mu], [0.0, 0.0, 1.0]], dtype)
 
 
 def build_legged_solver(cfg: LeggedMpcConfig,
@@ -141,7 +143,7 @@ def build_legged_solver(cfg: LeggedMpcConfig,
     Qd = np.asarray(cfg.q_diag, dt_)
     Rd = np.asarray(cfg.r_diag, dt_)
     gain = cfg.position_error_gain
-    pyr = np.asarray(_pyramid(cfg.friction_mu, dt_))
+    pyr = _pyramid(cfg.friction_mu, dt_)
     soft = cfg.cone_mode == 'soft'
     cone_cfg = FrictionConeConfig(friction_coefficient=cfg.friction_mu)
     bar_cfg = RelaxedBarrierConfig(mu=cfg.barrier_mu, delta=cfg.barrier_delta)

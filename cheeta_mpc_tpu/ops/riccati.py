@@ -237,6 +237,47 @@ def riccati_vector_eq(dyn: DynamicsLin, q, r, h, Ceq,
     return k, p
 
 
+def fold_terminal_equality(data: OcpQpData, C_N, e_N, mask_N) -> OcpQpData:
+    """Exact terminal-equality support: state-only terminal rows
+    ``C_N dx_N + e_N = 0`` are pulled back through the final dynamics
+    (``dx_N = A dx_{N-1} + B du_{N-1} + b``) into stage-(N-1) state-input
+    equality rows ``(C_N A) dx + (C_N B) du + (C_N b + e_N) = 0`` — the
+    role of the reference's terminal transcription, which hands terminal
+    constraints to HPIPM directly (MultipleShootingTranscription.cpp:
+    114-130). Exact for any feasible QP (the pulled-back rows hold iff the
+    terminal rows hold along dynamics-feasible trajectories, and the IPM
+    enforces the dynamics exactly).
+
+    C_N: (nt, nx), e_N: (nt,), mask_N: (nt,). Returns data with the rows
+    appended to the (possibly empty) stage-equality block; all other stages
+    carry zero-masked padding, keeping shapes static.
+    """
+    dt = data.dx0.dtype
+    Nh, nx, nu = data.dyn.horizon, data.dyn.nx, data.dyn.nu
+    nt = C_N.shape[0]
+    A, B, b = data.dyn.A[-1], data.dyn.B[-1], data.dyn.b[-1]
+    Cp = (mask_N[:, None] * C_N) @ A  # (nt, nx)
+    Dp = (mask_N[:, None] * C_N) @ B  # (nt, nu)
+    ep = mask_N * (bmv(C_N, b) + e_N)  # (nt,)
+    padC = jnp.zeros((Nh - 1, nt, nx), dt)
+    padD = jnp.zeros((Nh - 1, nt, nu), dt)
+    padv = jnp.zeros((Nh - 1, nt), dt)
+    extC = jnp.concatenate([padC, Cp[None]], axis=0)
+    extD = jnp.concatenate([padD, Dp[None]], axis=0)
+    exte = jnp.concatenate([padv, ep[None]], axis=0)
+    extm = jnp.concatenate([padv, mask_N[None]], axis=0)
+    if data.eq is None:
+        from cheeta_mpc_tpu.core.types import StageEquality
+        eq = StageEquality(C=extC, D=extD, e=exte, mask=extm)
+    else:
+        eq = data.eq.replace(
+            C=jnp.concatenate([data.eq.C, extC], axis=1),
+            D=jnp.concatenate([data.eq.D, extD], axis=1),
+            e=jnp.concatenate([data.eq.e, exte], axis=1),
+            mask=jnp.concatenate([data.eq.mask, extm], axis=1))
+    return data.replace(eq=eq)
+
+
 def solve_eq_lqr(data: OcpQpData, reg: float = 0.0) -> OcpQpSolution:
     """Solve an OCP-QP with stage equalities but no inequalities, exactly."""
     cost = data.cost
