@@ -100,8 +100,10 @@ def main(argv=None):
     metrics_path = f"{args.out}_metrics.jsonl"
     metrics_f = open(metrics_path, "w")
     v_cmd = np.array([args.vx, 0.0, 0.0])
+    prev_policy = [None]
 
     def solve_fn(obs: SystemObservation) -> PolicyData:
+        from cheeta_mpc_tpu.mpc.runtime import shift_warm_start
         t, x = obs.time, obs.state
         x_ref = make_velocity_command_reference(cfg, x, v_cmd,
                                                 com_height=x0[8])
@@ -112,13 +114,21 @@ def main(argv=None):
         mids = 0.5 * (times[:-1] + times[1:])
         z_pos, z_vel = planner.sample_times(mids)  # (4, N) each
         z_pos, z_vel = z_pos.T, z_vel.T
+        warm = None
+        if args.solver == "sqp" and prev_policy[0] is not None:
+            # Reference warm start: previous primal interpolated onto the
+            # shifted grid (MultipleShootingSolver.cpp:229-265).
+            xw, uw = shift_warm_start(prev_policy[0], times)
+            warm = (jnp.asarray(xw, jnp.float32),
+                    jnp.asarray(uw, jnp.float32))
         with bench.phase("mpc_solve"):
+            kw = {"warm": warm} if args.solver == "sqp" else {}
             sol = solve(jnp.asarray(x, jnp.float32),
                         jnp.asarray(x_ref, jnp.float32),
                         jnp.asarray(enable, jnp.float32),
                         jnp.asarray(z_pos, jnp.float32),
                         jnp.asarray(z_vel, jnp.float32),
-                        dts=jnp.asarray(dts, jnp.float32))
+                        dts=jnp.asarray(dts, jnp.float32), **kw)
             jax.block_until_ready(sol.u_traj)
         bench.record_solve_ms(bench.phase("mpc_solve").latest_ms)
         # PerformanceIndex stream (MultiplotRemap analogue).
@@ -139,11 +149,13 @@ def main(argv=None):
             entry.update({"cost": float(sol.cost)})
             P = pv = None
         metrics_f.write(json.dumps(entry) + "\n")
-        return PolicyData(times=times,
-                          x_traj=np.asarray(sol.x_traj, np.float64),
-                          u_traj=np.asarray(sol.u_traj, np.float64),
-                          K=np.asarray(sol.gains_K, np.float64),
-                          P=P, p=pv)
+        pol = PolicyData(times=times,
+                         x_traj=np.asarray(sol.x_traj, np.float64),
+                         u_traj=np.asarray(sol.u_traj, np.float64),
+                         K=np.asarray(sol.gains_K, np.float64),
+                         P=P, p=pv)
+        prev_policy[0] = pol
+        return pol
 
     def plant_step(t, x, u):
         e = np.asarray(ms.contact_flags_at(t + 0.5 * DT))
