@@ -27,21 +27,53 @@ import numpy as np
 
 
 def _percentiles(f, args, reps):
+    """Latency with HOST MATERIALIZATION (np.asarray) — on the axon relay,
+    block_until_ready can resolve at enqueue rather than completion, so
+    fetching the bytes is the only honest completion barrier (and matches
+    what the MPC loop does with the policy anyway)."""
     lat = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
-        import jax
-        jax.block_until_ready(out)
+        np.asarray(f(*args))
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.asarray(lat)
     return (round(float(np.percentile(lat, 50)), 2),
             round(float(np.percentile(lat, 99)), 2))
 
 
+def _guard_against_slow_session():
+    """The axon/IFRT-proxy transport occasionally lands a session on a
+    degraded relay path where every multi-buffer execute costs ~20 ms
+    regardless of the program (most sessions dispatch in <0.1 ms). Probe
+    with a trivial 2-arg program and re-exec once if degraded, so the
+    recorded numbers measure the framework, not relay luck."""
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a, b: a + b)
+    x = jnp.ones((32,), jnp.float32)
+    np.asarray(f(x, x))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        np.asarray(f(x, x))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(np.asarray(lat), 50))
+    if p50 > 5.0 and os.environ.get("CHEETA_BENCH_REEXEC") != "1":
+        print(f"# slow dispatch session detected ({p50:.2f} ms); restarting",
+              flush=True)
+        os.environ["CHEETA_BENCH_REEXEC"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _guard_against_slow_session()
 
     from cheeta_mpc_tpu.examples import TEST_WEIGHTS, make_example_inputs
     from cheeta_mpc_tpu.mpc.centroidal_mpc import (CentroidalMpcConfig,
@@ -64,15 +96,12 @@ def main():
     state, des_state, des_inputs = make_example_inputs(cfg, batch=batch)
     args_b = tuple(jnp.asarray(a, cfg.dtype)
                    for a in (state, des_state, des_inputs))
-    sol = solve_b(*args_b)
-    jax.block_until_ready(sol.contact_force)
-    force = np.asarray(sol.contact_force)
+    force = np.asarray(solve_b(*args_b).contact_force)
     assert np.isfinite(force).all()
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        sol = solve_b(*args_b)
-    jax.block_until_ready(sol.contact_force)
+        force = np.asarray(solve_b(*args_b).contact_force)
     dt_s = (time.perf_counter() - t0) / reps
     solves_per_s = batch / dt_s
 
@@ -81,7 +110,7 @@ def main():
     s1, d1, i1 = make_example_inputs(cfg)
     args1 = tuple(jnp.asarray(a, cfg.dtype) for a in (s1, d1, i1))
     f_cold = lambda *a: solve1(*a).contact_force
-    f_cold(*args1)
+    np.asarray(f_cold(*args1))
     cold_p50, cold_p99 = _percentiles(f_cold, args1, 50)
 
     # ---- batch-1 warm MPC tick (the 50 Hz loop) ----------------------------
@@ -99,13 +128,12 @@ def main():
     tick_j = jax.jit(tick)
     sol0 = solve1(*args1)
     x_prev, u_prev = sol0.x_traj, sol0.u_traj
-    out = tick_j(*args1, x_prev, u_prev)
-    jax.block_until_ready(out)
+    np.asarray(tick_j(*args1, x_prev, u_prev)[2])
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()
         x_prev, u_prev, force_w = tick_j(*args1, x_prev, u_prev)
-        jax.block_until_ready(force_w)
+        np.asarray(force_w)  # host materialization = honest completion
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.asarray(lat)
     warm_p50 = round(float(np.percentile(lat, 50)), 2)
@@ -133,10 +161,9 @@ def main():
     largs = tuple(jnp.asarray(a, jnp.float32)
                   for a in (x0l, x_ref, enable, zp, zv))
     f_leg = lambda *a: lsolve(*a).forces
-    lf = f_leg(*largs)
-    jax.block_until_ready(lf)
+    lf = np.asarray(f_leg(*largs))
     leg_p50, leg_p99 = _percentiles(f_leg, largs, 30)
-    assert np.isfinite(np.asarray(lf)).all()
+    assert np.isfinite(lf).all()
 
     # ---- on-TPU f32 test tier ----------------------------------------------
     # Swing legs carry exactly zero force (structural gating).
