@@ -106,7 +106,12 @@ def main():
     solves_per_s = batch / dt_s
 
     # ---- batch-1 cold latency ----------------------------------------------
-    solve1 = jax.jit(solve_one)
+    # The real-time path uses the condensed backend (HPIPM's condensing-mode
+    # analogue): ~2x lower sequential latency than the Riccati scan at short
+    # horizons (PERF.md table).
+    cold_scp = ScpSettings(iterations=2, ipm=IpmSettings(iters=10),
+                           qp_backend='condensed')
+    solve1 = jax.jit(build_centroidal_solver(cfg, cold_scp))
     s1, d1, i1 = make_example_inputs(cfg)
     args1 = tuple(jnp.asarray(a, cfg.dtype) for a in (s1, d1, i1))
     f_cold = lambda *a: solve1(*a).contact_force
@@ -114,7 +119,8 @@ def main():
     cold_p50, cold_p99 = _percentiles(f_cold, args1, 50)
 
     # ---- batch-1 warm MPC tick (the 50 Hz loop) ----------------------------
-    rti = ScpSettings(iterations=1, ipm=IpmSettings(iters=6))
+    rti = ScpSettings(iterations=1, ipm=IpmSettings(iters=6),
+                      qp_backend='condensed')
     solve_warm = jax.jit(build_centroidal_solver(cfg, rti))
 
     def tick(state, des_state, des_inputs, x_prev, u_prev):
