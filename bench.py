@@ -152,8 +152,12 @@ def main():
     lcfg = LeggedMpcConfig.from_task_info(
         "/root/reference/ocs2_legged_robot/config/mpc/task.info",
         cone_mode='soft', dtype=jnp.float32)  # horizon = 1.0 s / 0.015 = 67
+    # RTI (task.info:34) with the fused Pallas eq-Riccati kernel — the
+    # full backward/forward pass is one kernel, ~1 ms of device time
+    # (PERF.md).
     lsolve = jax.jit(build_legged_solver(
-        lcfg, ScpSettings(iterations=1)))  # RTI, task.info:34
+        lcfg, ScpSettings(iterations=1,
+                          ipm=IpmSettings(eq_backend='pallas'))))
     NL_ = lcfg.horizon
     x0l = np.zeros(24, np.float32)
     x0l[8] = 0.3

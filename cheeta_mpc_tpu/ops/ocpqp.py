@@ -60,6 +60,10 @@ class IpmSettings(NamedTuple):
     # fixed-iteration analogue of HPIPM's tol_comp exit; prevents numerical
     # blow-up from post-convergence barrier weights ~1/mu).
     mu_tol: float = 0.0  # 0.0 => auto by dtype (1e-8 f64, 1e-4 f32)
+    # Equality-only solves (no inequality rows, e.g. the soft-cone legged
+    # task): 'scan' = lax.scan Riccati; 'pallas' = the fused single-kernel
+    # solver (ops/pallas_riccati.py) — lowest batch-1 latency on TPU.
+    eq_backend: str = 'scan' 
 
 
 class _IpmState(NamedTuple):
@@ -172,6 +176,13 @@ def solve_ocp_qp(data: OcpQpData,
     Nh = data.dyn.horizon
     if data.con is None:
         # Equality-only problem: one exact eq-Riccati solve.
+        if settings.eq_backend == 'pallas':
+            import jax as _jax
+
+            from cheeta_mpc_tpu.ops.pallas_riccati import pallas_solve_eq_lqr
+            return pallas_solve_eq_lqr(
+                data, reg=settings.reg,
+                interpret=_jax.default_backend() == 'cpu')
         from cheeta_mpc_tpu.ops.riccati import solve_eq_lqr
         return solve_eq_lqr(data, reg=settings.reg)
     if data.eq is None:

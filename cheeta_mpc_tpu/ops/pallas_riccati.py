@@ -1,0 +1,189 @@
+"""Fused equality-Riccati solver as a single Pallas TPU kernel.
+
+The batch-1 latency of the stage-serial Riccati solve is dominated by the
+*sequential chain of small ops*: each XLA op on a 24x24 block pays an HBM
+round-trip, and a full backward+forward pass issues hundreds of them
+(PERF.md "Sequential-latency analysis"). This kernel fuses the ENTIRE
+equality-constrained LQR solve — backward matrix factorization, backward
+vector pass and forward rollout (the math of
+:func:`cheeta_mpc_tpu.ops.riccati.riccati_factorize_eq` /
+``riccati_vector_eq`` / ``lqr_forward``, i.e. ``solve_eq_lqr``) — into one
+``pallas_call`` whose working set lives entirely in VMEM: the only HBM
+traffic is the problem data in and the solution out.
+
+This is the TPU speed-of-light analogue of what BLASFEO gives HPIPM on CPU
+(reference L0, SURVEY.md §1): hand-scheduled small-matrix kernels with the
+factors kept close to the compute units across the recursion.
+
+Design notes:
+- Single grid point; ``jax.lax.fori_loop`` over stages inside the kernel.
+- The two SPD inverses per stage (G nu x nu, Lam nc x nc) are Gauss-Jordan
+  eliminations with mask-selected pivots (no dynamic row indexing — TPU
+  vector lanes want masked VPU ops). No pivot search: both matrices are SPD
+  with explicit regularization, so the diagonal pivots stay positive.
+- All vectors are (1, n) row matrices (TPU wants >= 2D); matvecs are
+  row-vector GEMMs (``row @ M``).
+- f32; used for deployment solves. Oracle tests compare against the scan
+  implementation (tests/test_pallas_riccati.py, interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cheeta_mpc_tpu.core.types import OcpQpData, OcpQpSolution, RiccatiGains
+
+
+def _gj_inverse(M):
+    """Gauss-Jordan inverse of an SPD (n, n) matrix with masked pivoting
+    (in-kernel friendly: no dynamic slicing, pure masked VPU ops)."""
+    n = M.shape[0]
+    dt = M.dtype
+    A = jnp.concatenate([M, jnp.eye(n, dtype=dt)], axis=1)  # (n, 2n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 1)
+
+    def body(j, A):
+        row_mask = (rows == j).astype(dt)  # selects row j
+        col_mask = (cols == j).astype(dt)  # selects column j
+        pivot = jnp.sum(A * row_mask * col_mask)
+        row_j = jnp.sum(A * row_mask, axis=0, keepdims=True) / pivot
+        col_j = jnp.sum(A * col_mask, axis=1, keepdims=True)  # (n, 1)
+        # Eliminate column j from every row; the elimination zeroes row j
+        # itself (col_j[j] = pivot), so add the scaled pivot row back.
+        A = A - col_j * row_j
+        A = A + row_mask * row_j
+        return A
+
+    A = jax.lax.fori_loop(0, n, body, A)
+    return A[:, n:]
+
+
+def _eq_lqr_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
+                   C_ref, D_ref, e_ref, m_ref, dx0_ref,
+                   dx_ref, du_ref, K_ref, k_ref, P_ref, p_ref,
+                   *, N, nx, nu, nc, reg, eps):
+    dt = jnp.float32
+    eye_u = jnp.eye(nu, dtype=dt)
+    eye_c = jnp.eye(nc, dtype=dt)
+
+    # ---- terminal boundary -------------------------------------------------
+    P_ref[N] = Q_ref[N]
+    p_ref[pl.ds(N, 1)] = q_ref[pl.ds(N, 1)]
+
+    # ---- backward pass: factorize + vector, one fused loop -----------------
+    def backward(i, carry):
+        k = N - 1 - i
+        P_next = P_ref[k + 1]  # (nx, nx)
+        p_next = p_ref[pl.ds(k + 1, 1)]  # (1, nx)
+        A = A_ref[k]
+        B = B_ref[k]
+        Ck = C_ref[k]  # (nc, nx)
+        Dk = D_ref[k]  # (nc, nu)
+        mk = m_ref[pl.ds(k, 1)]  # (1, nc)
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=dt)
+
+        PA = mm(P_next, A)  # (nx, nx)
+        PB = mm(P_next, B)  # (nx, nu)
+        G = R_ref[k] + mm(B.T, PB) + reg * eye_u
+        H = S_ref[k] + mm(B.T, PA)  # (nu, nx)
+        Ginv = _gj_inverse(0.5 * (G + G.T))
+        Y = mm(Ginv, Dk.T)  # (nu, nc)
+        Lam = mm(Dk, Y) + eye_c * (eps * (1.0 - mk))  # row broadcast -> diag
+        Li = _gj_inverse(0.5 * (Lam + Lam.T))
+        YLi = mm(Y, Li)  # (nu, nc)
+        W = Ginv - mm(YLi, Y.T)
+        Kk = -(mm(W, H) + mm(YLi, Ck))  # (nu, nx)
+        CYH = Ck - mm(Y.T, H)  # (nc, nx)
+        Pk = Q_ref[k] + mm(A.T, PA) + mm(H.T, Kk) + mm(Ck.T, mm(Li, CYH))
+        Pk = 0.5 * (Pk + Pk.T)
+
+        # Vector pass (h = -(mask * e), matching solve_eq_lqr).
+        h_row = -(mk * e_ref[pl.ds(k, 1)])  # (1, nc)
+        b_row = b_ref[pl.ds(k, 1)]  # (1, nx)
+        mvec = p_next + mm(b_row, P_next.T)  # (1, nx)
+        g = r_ref[pl.ds(k, 1)] + mm(mvec, B)  # (1, nu)
+        kvec = -(mm(g, W.T) - mm(h_row, YLi.T))  # (1, nu)
+        nu0 = -(mm(h_row, Li.T) + mm(g, YLi))  # (1, nc)
+        pk = (q_ref[pl.ds(k, 1)] + mm(mvec, A) + mm(kvec, H)
+              + mm(nu0, Ck))  # (1, nx)
+
+        P_ref[k] = Pk
+        p_ref[pl.ds(k, 1)] = pk
+        K_ref[k] = Kk
+        k_ref[pl.ds(k, 1)] = kvec
+        return carry
+
+    jax.lax.fori_loop(0, N, backward, 0)
+
+    # ---- forward rollout ----------------------------------------------------
+    dx_ref[pl.ds(0, 1)] = dx0_ref[pl.ds(0, 1)]
+
+    def forward(k, carry):
+        dx = dx_ref[pl.ds(k, 1)]  # (1, nx)
+        du = (jnp.dot(dx, K_ref[k].T, preferred_element_type=jnp.float32)
+              + k_ref[pl.ds(k, 1)])  # (1, nu)
+        du_ref[pl.ds(k, 1)] = du
+        dx_ref[pl.ds(k + 1, 1)] = (
+            jnp.dot(dx, A_ref[k].T, preferred_element_type=jnp.float32)
+            + jnp.dot(du, B_ref[k].T, preferred_element_type=jnp.float32)
+            + b_ref[pl.ds(k, 1)])
+        return carry
+
+    jax.lax.fori_loop(0, N, forward, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("reg", "eps", "interpret"))
+def pallas_solve_eq_lqr(data: OcpQpData, reg: float = 1e-9,
+                        eps: float = 1.0,
+                        interpret: bool = False) -> OcpQpSolution:
+    """Drop-in fused-kernel replacement for
+    :func:`cheeta_mpc_tpu.ops.riccati.solve_eq_lqr` (equality-constrained
+    LQR, no inequalities). f32 on hardware; ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU CI)."""
+    dyn, cost, eq = data.dyn, data.cost, data.eq
+    N, nx, nu = dyn.horizon, dyn.nx, dyn.nu
+    nc = eq.C.shape[-2]
+    dt = jnp.float32
+
+    kern = functools.partial(_eq_lqr_kernel, N=N, nx=nx, nu=nu, nc=nc,
+                             reg=float(reg), eps=float(eps))
+    out_shape = (
+        jax.ShapeDtypeStruct((N + 1, nx), dt),  # dx
+        jax.ShapeDtypeStruct((N, nu), dt),  # du
+        jax.ShapeDtypeStruct((N, nu, nx), dt),  # K
+        jax.ShapeDtypeStruct((N, nu), dt),  # k
+        jax.ShapeDtypeStruct((N + 1, nx, nx), dt),  # P
+        jax.ShapeDtypeStruct((N + 1, nx), dt),  # p
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    args = (dyn.A, dyn.B, dyn.b, cost.Q, cost.q, cost.R, cost.r, cost.S,
+            eq.C, eq.D, eq.e, eq.mask, data.dx0[None])
+    args = tuple(jnp.asarray(a, dt) for a in args)
+    dx, du, K, kvec, P, p = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[vspec] * len(args),
+        out_specs=tuple([vspec] * len(out_shape)),
+        interpret=interpret,
+    )(*args)
+
+    gains = RiccatiGains(K=K, k=kvec, P=P, p=p)
+    ng = 0 if data.con is None else data.con.ng
+    zshape = (N + 1, ng)
+    zero = np.zeros((), np.float32)
+    return OcpQpSolution(
+        dx=dx, du=du, gains=gains,
+        lam_l=np.zeros(zshape, np.float32),
+        lam_u=np.zeros(zshape, np.float32),
+        s_l=np.ones(zshape, np.float32), s_u=np.ones(zshape, np.float32),
+        iterations=np.zeros((), np.int32), mu=zero, stat_res=zero,
+        ineq_res=zero, eq_res=zero)
