@@ -141,7 +141,6 @@ def solve_nonlinear_ocp(
     (cost + penalty on violations) — the line-search metric.
     """
     alphas = np.asarray(settings.alphas, x_init.dtype)
-    n_alpha = len(settings.alphas)
     if settings.qp_backend == 'condensed':
         from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
         qp_solve = solve_ocp_qp_condensed
