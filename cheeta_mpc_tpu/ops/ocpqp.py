@@ -176,7 +176,10 @@ def solve_ocp_qp(data: OcpQpData,
     Nh = data.dyn.horizon
     if data.con is None:
         # Equality-only problem: one exact eq-Riccati solve.
-        if settings.eq_backend == 'pallas':
+        # The Pallas kernel runs in f32 (VMEM-resident working set); an f64
+        # problem would be silently downcast, so fall back to the scan solver
+        # which preserves the input dtype.
+        if settings.eq_backend == 'pallas' and dt != jnp.float64:
             import jax as _jax
 
             from cheeta_mpc_tpu.ops.pallas_riccati import pallas_solve_eq_lqr

@@ -74,7 +74,11 @@ def _eq_lqr_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
     eye_c = jnp.eye(nc, dtype=dt)
 
     # ---- terminal boundary -------------------------------------------------
-    P_ref[N] = Q_ref[N]
+    # Symmetrize the terminal cost like the scan path (solve_eq_lqr uses
+    # symmetrize(Q[-1])) so an asymmetric Q_N cannot cause backend-dependent
+    # divergence between 'scan' and 'pallas' solutions.
+    Q_N = Q_ref[N]
+    P_ref[N] = 0.5 * (Q_N + Q_N.T)
     p_ref[pl.ds(N, 1)] = q_ref[pl.ds(N, 1)]
 
     # ---- backward pass: factorize + vector, one fused loop -----------------

@@ -56,6 +56,15 @@ STEP_DUAL = 2
 STEP_COST = 3
 
 # Convergence codes (reference multiple_shooting::Convergence).
+# Deliberate reinterpretation of checkConvergence's precedence
+# (MultipleShootingSolver.cpp:621-641): the reference stops at the FIRST
+# iteration that converges and returns ITERATIONS once the budget runs out,
+# whereas this solver always runs a fixed iteration count (vmap/jit-static)
+# and classifies the FINAL step — so STEPSIZE/METRICS/PRIMAL take precedence
+# and ITERATIONS is the fallback ("budget exhausted without any other
+# convergence signal"). A ZERO final step therefore reports CONV_STEPSIZE
+# here where the reference would report ITERATIONS; do not compare codes
+# against reference semantics one-for-one.
 CONV_FALSE = 0
 CONV_ITERATIONS = 1
 CONV_STEPSIZE = 2
