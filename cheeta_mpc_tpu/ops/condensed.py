@@ -169,6 +169,7 @@ def _factor_solve(F, Hb: jnp.ndarray, rhs: jnp.ndarray, method: str):
 def solve_ocp_qp_condensed(data: OcpQpData,
                            settings: IpmSettings = IpmSettings(),
                            factor: str = 'cholesky',
+                           engine: str = 'xla',
                            ) -> OcpQpSolution:
     """Solve a constrained OCP-QP by condensing + dense Mehrotra IPM.
 
@@ -177,6 +178,9 @@ def solve_ocp_qp_condensed(data: OcpQpData,
     ``factor`` selects the dense factorization ('cholesky' = XLA native,
     the TPU path; 'spd_inverse' = all-GEMM explicit inverse, small f64
     oracles only — its trace-time unrolling does not scale to N*nu ~ 240).
+    ``engine`` selects the IPM executor: 'xla' = the lax.scan below;
+    'pallas' = the fused single-kernel IPM (ops/pallas_ipm.py, f32 —
+    lowest batch-1 latency on TPU; f64 problems fall back to 'xla').
     """
     qp = condense(data)
     dt = data.dx0.dtype
@@ -194,6 +198,17 @@ def solve_ocp_qp_condensed(data: OcpQpData,
         # Unconstrained: one dense solve (or defer to Riccati for gains).
         from cheeta_mpc_tpu.ops.riccati import solve_lqr
         return solve_lqr(data, reg=settings.reg)
+
+    if engine == 'pallas' and dt != jnp.float64:
+        # Fused single-kernel IPM: the whole solve stays VMEM-resident.
+        from cheeta_mpc_tpu.ops.pallas_ipm import pallas_dense_ipm
+        z, s_l, s_u, lam_l, lam_u, mu, stat = pallas_dense_ipm(
+            qp.H, qp.g0, qp.Ghat, qp.ghat, qp.lg, qp.ug, qp.mask,
+            iters=settings.iters, tau=settings.tau, mu0=settings.mu0,
+            s0_min=settings.s0_min, reg=settings.reg, w_max=w_max,
+            mu_tol=mu_tol, interpret=jax.default_backend() == 'cpu')
+        state = _DenseState(z=z, s_l=s_l, s_u=s_u, lam_l=lam_l, lam_u=lam_u)
+        return _expand_solution(data, qp, state, mu, settings, w_max)
 
     # --- initialization (same rule as the Riccati-backend IPM) -------------
     g = qp.Ghat @ jnp.zeros((M,), dt) + qp.ghat
@@ -279,9 +294,17 @@ def solve_ocp_qp_condensed(data: OcpQpData,
 
     (state, _), mus = jax.lax.scan(iteration, (state0, stat_norm(state0)),
                                    None, length=settings.iters)
-    mu = mus[-1]
+    return _expand_solution(data, qp, state, mus[-1], settings, w_max)
 
-    # --- expand back to the OCP trajectory ---------------------------------
+
+def _expand_solution(data: OcpQpData, qp: CondensedQp, state: _DenseState,
+                     mu, settings: IpmSettings, w_max) -> OcpQpSolution:
+    """Expand a dense-IPM iterate back to the OCP trajectory + Riccati gains
+    (shared tail of the 'xla' and 'pallas' engines)."""
+    N, nx, nu = data.dyn.horizon, data.dyn.nx, data.dyn.nu
+    ng = data.con.ng
+    m = qp.mask
+
     du = state.z.reshape(N, nu)
     dx = jnp.einsum('kim,m->ki', qp.Phi, state.z) + qp.phi
     lam_l = state.lam_l.reshape(N + 1, ng)
@@ -316,11 +339,14 @@ def solve_ocp_qp_condensed(data: OcpQpData,
     # Diagnostics.
     gfin = qp.Ghat @ state.z + qp.ghat
     viol = jnp.maximum(qp.lg - gfin, gfin - qp.ug)
+    lam_net_flat = m * (state.lam_u - state.lam_l)
+    stat_res = jnp.max(jnp.abs(qp.H @ state.z + qp.g0
+                               + qp.Ghat.T @ lam_net_flat))
     return OcpQpSolution(
         dx=dx, du=du, gains=gains,
         lam_l=lam_l, lam_u=lam_u, s_l=s_l, s_u=s_u,
         iterations=jnp.asarray(settings.iters, jnp.int32), mu=mu,
-        stat_res=stat_norm(state),
+        stat_res=stat_res,
         ineq_res=jnp.max(jnp.where(m > 0, viol, 0.0)),
         eq_res=jnp.max(jnp.abs(bmv(data.dyn.A, dx[:-1])
                                + bmv(data.dyn.B, du)

@@ -81,9 +81,11 @@ class ScpSettings(NamedTuple):
     # Parallel line-search ladder (alpha_decay 0.5 down to alpha_min; the
     # reference backtracks sequentially, we evaluate the ladder at once).
     alphas: tuple = (1.0, 0.5, 0.25, 0.125)
-    # QP backend: 'riccati' (O(N) scan, any horizon, stage equalities) or
+    # QP backend: 'riccati' (O(N) scan, any horizon, stage equalities),
     # 'condensed' (states eliminated, dense MXU GEMMs — fastest for short
-    # horizons, no stage equalities). Mirrors HPIPM's two modes.
+    # horizons, no stage equalities) or 'condensed_pallas' (same dense IPM
+    # fused into a single VMEM-resident Pallas kernel, ops/pallas_ipm.py —
+    # lowest batch-1 latency on TPU). Mirrors HPIPM's two modes.
     qp_backend: str = 'riccati'
     # Filter-acceptance thresholds (reference defaults).
     g_max: float = 1e6
@@ -153,13 +155,17 @@ def solve_nonlinear_ocp(
     if settings.qp_backend == 'condensed':
         from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
         qp_solve = solve_ocp_qp_condensed
+    elif settings.qp_backend == 'condensed_pallas':
+        import functools
+
+        from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
+        qp_solve = functools.partial(solve_ocp_qp_condensed, engine='pallas')
     elif settings.qp_backend == 'riccati':
         qp_solve = solve_ocp_qp
     else:
         raise ValueError(f"unknown qp_backend {settings.qp_backend!r}")
 
-    def iteration(carry, _):
-        x, u = carry
+    def iteration(x, u):
         data = linearize(x, u)
         sol = qp_solve(data, settings.ipm)
 
@@ -205,13 +211,22 @@ def solve_nonlinear_ocp(
             dx_norm=a * _traj_norm(sol.dx),
             du_norm=a * _traj_norm(sol.du),
             performance=perf_after)
-        out = (step, base.merit, sol.mu,
-               sol.gains.K, sol.gains.k, sol.gains.P, sol.gains.p,
-               sol.lam_l, sol.lam_u)
-        return (x_new, u_new), out
+        return (x_new, u_new), (step, base.merit, sol)
 
-    (x, u), (steps, base_merits, mus, Ks, ks, Ps, ps, ll, lu) = jax.lax.scan(
-        iteration, (x_init, u_init), None, length=settings.iterations)
+    # The SQP loop is unrolled in Python (`iterations` is static and small —
+    # the deployment config is 1-2, task.info:34 uses 1): unlike a lax.scan,
+    # unrolling lets XLA dead-code-eliminate the per-iteration byproducts
+    # nothing consumes — in particular the Riccati-gain extraction of every
+    # non-final QP solve, a measurable share of batch-1 device latency.
+    x, u = x_init, u_init
+    per_iter = []
+    for _ in range(settings.iterations):
+        (x, u), rec = iteration(x, u)
+        per_iter.append(rec)
+    steps = jax.tree.map(lambda *xs: jnp.stack(xs), *[r[0] for r in per_iter])
+    base_merits = [r[1] for r in per_iter]
+    sol = per_iter[-1][2]  # final QP solution (gains/duals surface)
+    mus = [r[2].mu for r in per_iter]
 
     last = jax.tree.map(lambda arr: arr[-1], steps)
     # Convergence classification (reference checkConvergence,
@@ -229,9 +244,9 @@ def solve_nonlinear_ocp(
                       CONV_PRIMAL, CONV_ITERATIONS))).astype(jnp.int32)
 
     return ScpResult(x=x, u=u, merit=last.performance.merit, qp_mu=mus[-1],
-                     gains_K=Ks[-1], gains_k=ks[-1],
-                     gains_P=Ps[-1], gains_p=ps[-1],
-                     lam_l=ll[-1], lam_u=lu[-1],
+                     gains_K=sol.gains.K, gains_k=sol.gains.k,
+                     gains_P=sol.gains.P, gains_p=sol.gains.p,
+                     lam_l=sol.lam_l, lam_u=sol.lam_u,
                      performance=last.performance, step_info=steps,
                      convergence=conv)
 
