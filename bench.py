@@ -90,8 +90,9 @@ def main():
     scp = ScpSettings(iterations=2, ipm=IpmSettings(iters=10))
     solve_one = build_centroidal_solver(cfg, scp)
 
-    # ---- throughput at batch 512 (the scaling headline) --------------------
-    batch = 512
+    # ---- throughput at batch 1024 (the scaling headline) --------------------
+    # 1024 is the measured sweet spot on v5e (+12% over 512; 2048 regresses).
+    batch = 1024
     solve_b = jax.jit(jax.vmap(solve_one))
     state, des_state, des_inputs = make_example_inputs(cfg, batch=batch)
     args_b = tuple(jnp.asarray(a, cfg.dtype)
@@ -108,9 +109,10 @@ def main():
     # ---- batch-1 cold latency ----------------------------------------------
     # The real-time path uses the condensed backend (HPIPM's condensing-mode
     # analogue): ~2x lower sequential latency than the Riccati scan at short
-    # horizons (PERF.md table).
+    # horizons (PERF.md table), with the whole dense IPM fused into one
+    # VMEM-resident Pallas kernel (ops/pallas_ipm.py).
     cold_scp = ScpSettings(iterations=2, ipm=IpmSettings(iters=10),
-                           qp_backend='condensed')
+                           qp_backend='condensed_pallas')
     solve1 = jax.jit(build_centroidal_solver(cfg, cold_scp))
     s1, d1, i1 = make_example_inputs(cfg)
     args1 = tuple(jnp.asarray(a, cfg.dtype) for a in (s1, d1, i1))
@@ -120,7 +122,7 @@ def main():
 
     # ---- batch-1 warm MPC tick (the 50 Hz loop) ----------------------------
     rti = ScpSettings(iterations=1, ipm=IpmSettings(iters=6),
-                      qp_backend='condensed')
+                      qp_backend='condensed_pallas')
     solve_warm = jax.jit(build_centroidal_solver(cfg, rti))
 
     def tick(state, des_state, des_inputs, x_prev, u_prev):
