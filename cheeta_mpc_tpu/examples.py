@@ -34,11 +34,53 @@ def trot_table(horizon: int, num_legs: int = 4, phase: int = 0) -> np.ndarray:
     return table
 
 
+def gait_table(kind: str, horizon: int, num_legs: int = 4,
+               phase: int = 0) -> np.ndarray:
+    """(horizon, num_legs) contact-enable table for the named quadruped gait
+    — the contact-timing-variation axis of BASELINE.json config 3
+    ("bound/pace/gallop gait table sweep").
+
+    Leg order is the reference's LF, RF, RH, LH
+    (CentoidMPCTest.cpp:40-46). Pair gaits alternate their two leg pairs
+    every ``horizon // 2`` steps like :func:`trot_table`; ``gallop`` is a
+    rotary four-beat footfall (each leg stance for half the cycle, lift-offs
+    staggered by a quarter cycle: LH, RH, LF, RF); ``stance`` keeps all feet
+    down.
+    """
+    pairs = {
+        "trot": ((0, 2), (1, 3)),    # diagonal: LF+RH / RF+LH
+        "bound": ((0, 1), (2, 3)),   # front / hind
+        "pace": ((0, 3), (1, 2)),    # lateral: LF+LH / RF+RH
+    }
+    table = np.zeros((horizon, num_legs))
+    if kind == "stance":
+        table[:] = 1.0
+        return table
+    if kind in pairs:
+        half = max(horizon // 2, 1)
+        for k in range(horizon):
+            for leg in pairs[kind][((k + phase) // half) % 2]:
+                table[k, leg] = 1.0
+        return table
+    if kind == "gallop":
+        # Rotary gallop footfall sequence LH, RH, LF, RF: leg i is in
+        # stance for the half-cycle starting at its phase offset.
+        offsets = {3: 0.0, 2: 0.25, 0: 0.5, 1: 0.75}  # leg -> cycle phase
+        for k in range(horizon):
+            ph = ((k + phase) / max(horizon, 1)) % 1.0
+            for leg, off in offsets.items():
+                if (ph - off) % 1.0 < 0.5:
+                    table[k, leg] = 1.0
+        return table
+    raise ValueError(f"unknown gait kind: {kind!r}")
+
+
 def make_example_inputs(cfg: CentroidalMpcConfig, batch: int | None = None,
-                        seed: int = 0):
+                        seed: int = 0, gait: str = "trot"):
     """Returns (state, des_state, des_inputs) packed vectors; with ``batch``
     set, a leading batch axis with per-element perturbations (the
-    gait/terrain/command scenario grid of BASELINE.json config 5)."""
+    gait/terrain/command scenario grid of BASELINE.json config 5). ``gait``
+    selects the contact table (:func:`gait_table`)."""
     N, nl = cfg.horizon, cfg.num_legs
     rng = np.random.default_rng(seed)
     b = 1 if batch is None else batch
@@ -67,7 +109,7 @@ def make_example_inputs(cfg: CentroidalMpcConfig, batch: int | None = None,
     des_state[:, 3 * (N + 1):6 * (N + 1)] = des_com_vel.reshape(b, -1)
     des_state[:, 6 * (N + 1):] = des_am.reshape(b, -1)
 
-    table = trot_table(N, nl)
+    table = trot_table(N, nl) if gait == "trot" else gait_table(gait, N, nl)
     des_inputs = np.zeros((b, nl * (4 * N + 3)))
     for i in range(nl):
         off = i * (4 * N + 3)
