@@ -14,6 +14,8 @@ BASELINE.json budget 25-40 ms):
   (1 SQP, task.info:34).
 - ``legged_solves_per_s_chip_N67`` + p99: the reference-scale legged task
   (~67 nodes, dt 0.015, nx=nu=24, task.info:33,102) in soft-cone mode.
+- ``legged_batch_solves_per_s_chip_N67``: the same task vmapped over a
+  512-scenario batch — the fleet-scale throughput of BASELINE config 4.
 
 Tail of the run executes a small on-TPU f32 test tier (swing-force zeros,
 weight-support sanity, finiteness) — failures raise, so a green bench line
@@ -62,11 +64,18 @@ def _guard_against_slow_session():
         np.asarray(f(x, x))
         lat.append((time.perf_counter() - t0) * 1e3)
     p50 = float(np.percentile(np.asarray(lat), 50))
-    if p50 > 5.0 and os.environ.get("CHEETA_BENCH_REEXEC") != "1":
-        print(f"# slow dispatch session detected ({p50:.2f} ms); restarting",
-              flush=True)
-        os.environ["CHEETA_BENCH_REEXEC"] = "1"
+    attempt = int(os.environ.get("CHEETA_BENCH_REEXEC", "0"))
+    if p50 > 5.0 and attempt < 3:
+        # A re-exec draws a fresh relay connection; one draw is often not
+        # enough to escape a degraded path, so retry up to 3 times.
+        print(f"# slow dispatch session detected ({p50:.2f} ms); "
+              f"restarting (attempt {attempt + 1}/3)", flush=True)
+        os.environ["CHEETA_BENCH_REEXEC"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    if p50 > 5.0:
+        print(f"# WARNING: degraded dispatch floor persists ({p50:.2f} ms); "
+              "batch-1 latencies below include ~this much per-call transport",
+              flush=True)
 
 
 def main():
@@ -74,6 +83,12 @@ def main():
     import jax.numpy as jnp
 
     _guard_against_slow_session()
+
+    # Persistent compile cache: the slow-session re-execs and repeated
+    # driver runs then skip the multi-second XLA compiles (verified to work
+    # through the axon remote-compile tunnel).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cheeta_mpc_tpu.examples import TEST_WEIGHTS, make_example_inputs
     from cheeta_mpc_tpu.mpc.centroidal_mpc import (CentroidalMpcConfig,
@@ -177,6 +192,24 @@ def main():
     leg_p50, leg_p99 = _percentiles(f_leg, largs, 30)
     assert np.isfinite(lf).all()
 
+    # ---- batched legged throughput (BASELINE config 4 at fleet scale) ------
+    lbatch = 512
+    lsolve_b = jax.jit(jax.vmap(build_legged_solver(
+        lcfg, ScpSettings(iterations=1, ipm=IpmSettings(eq_backend='scan')))))
+    x0b = np.tile(x0l, (lbatch, 1)).astype(np.float32)
+    x0b[:, 0] = 0.05 * np.random.default_rng(0).standard_normal(lbatch)
+    bargs = (jnp.asarray(x0b),
+             jnp.asarray(np.repeat(x0b[:, None, :], NL_ + 1, axis=1)),
+             jnp.asarray(np.tile(enable, (lbatch, 1, 1))),
+             jnp.asarray(np.tile(zp, (lbatch, 1, 1))),
+             jnp.asarray(np.tile(zv, (lbatch, 1, 1))))
+    lfb = np.asarray(lsolve_b(*bargs).forces)
+    assert np.isfinite(lfb).all()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        lfb = np.asarray(lsolve_b(*bargs).forces)
+    leg_batch_sps = lbatch / ((time.perf_counter() - t0) / 5)
+
     # ---- on-TPU f32 test tier ----------------------------------------------
     # Swing legs carry exactly zero force (structural gating).
     table = np.zeros((batch, 4, horizon), bool)
@@ -205,6 +238,8 @@ def main():
         "legged_p50_ms": leg_p50,
         "legged_p99_ms": leg_p99,
         "legged_solves_per_s_chip_N67": round(1000.0 / leg_p50, 1),
+        "legged_batch_solves_per_s_chip_N67": round(leg_batch_sps, 1),
+        "legged_batch": lbatch,
         "f32_tier": "pass",
         "device": str(jax.devices()[0]),
     }
