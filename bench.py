@@ -7,25 +7,37 @@ real-time path the reference was built for (task.info:108, 50 Hz => 20 ms;
 BASELINE.json budget 25-40 ms):
 
 - ``batch1_cold_p50/p99_ms``: single-robot solve from scratch (2 SQP x 10
-  IPM deployment quality).
+  IPM deployment quality) on the fused Riccati-IPM Pallas kernel.
 - ``batch1_warm_p50/p99_ms``: the MPC-loop tick — warm-started from the
   previous solution shifted one node (the reference's warm start,
   MultipleShootingSolver.cpp:229-265) with the real-time-iteration budget
   (1 SQP, task.info:34).
-- ``legged_solves_per_s_chip_N67`` + p99: the reference-scale legged task
-  (~67 nodes, dt 0.015, nx=nu=24, task.info:33,102) in soft-cone mode.
-- ``legged_batch_solves_per_s_chip_N67``: the same task vmapped over a
-  512-scenario batch — the fleet-scale throughput of BASELINE config 4.
+- ``legged_*``: the reference-scale legged task (~67 nodes, dt 0.015,
+  nx=nu=24, task.info:33,102) in soft-cone mode, batch 1 (fused Pallas
+  eq-Riccati kernel) and batch 512 (vmapped scan).
 
-Tail of the run executes a small on-TPU f32 test tier (swing-force zeros,
-weight-support sanity, finiteness) — failures raise, so a green bench line
-implies the f32 device path is numerically sound.
+Device-time accounting (VERDICT r3 #1): every hot path also reports
+``*_device_ms`` — on-device execution time measured by the slope of a
+chained on-device fori_loop (utils/device_timing.py), which cancels the
+axon relay's per-dispatch transport cost exactly. The wall-clock
+percentiles remain as the end-to-end numbers; the device numbers are the
+relay-independent truth. ``mfu_pct`` reports achieved useful FLOP/s
+against the v5e bf16 peak from the analytic per-solve FLOP count.
+
+Tail of the run executes the on-TPU test tier: compiled-kernel-vs-scan
+oracle comparisons for BOTH Pallas kernels (riccati_pallas IPM on the
+centroidal solve; eq-Riccati on the legged solve), plus swing-force zeros,
+weight-support sanity, and finiteness — failures raise, so a green bench
+line implies the compiled f32 device path is numerically sound
+(``tpu_selftest: pass``).
 """
 
 import json
 import time
 
 import numpy as np
+
+_PROC_START = time.perf_counter()
 
 
 def _percentiles(f, args, reps):
@@ -48,7 +60,8 @@ def _guard_against_slow_session():
     degraded relay path where every multi-buffer execute costs ~20 ms
     regardless of the program (most sessions dispatch in <0.1 ms). Probe
     with a trivial 2-arg program and re-exec once if degraded, so the
-    recorded numbers measure the framework, not relay luck."""
+    recorded numbers measure the framework, not relay luck. (The
+    ``*_device_ms`` fields are immune either way.)"""
     import os
     import sys
 
@@ -65,24 +78,32 @@ def _guard_against_slow_session():
         lat.append((time.perf_counter() - t0) * 1e3)
     p50 = float(np.percentile(np.asarray(lat), 50))
     attempt = int(os.environ.get("CHEETA_BENCH_REEXEC", "0"))
-    if p50 > 5.0 and attempt < 3:
-        # A re-exec draws a fresh relay connection; one draw is often not
-        # enough to escape a degraded path, so retry up to 3 times.
+    # When the relay is globally degraded, jax init itself takes minutes —
+    # a re-exec would pay that again for the same draw. Only restart when
+    # this process reached the probe quickly (healthy init, unlucky draw).
+    init_was_fast = (time.perf_counter() - _PROC_START) < 90.0
+    if p50 > 5.0 and attempt < 1 and init_was_fast:
+        # A re-exec draws a fresh relay connection. One attempt only: each
+        # re-exec pays minutes of jax re-init through the tunnel, and since
+        # the *_device_ms fields are dispatch-independent, a degraded relay
+        # no longer corrupts the primary evidence — it only inflates the
+        # wall-clock percentiles, which dispatch_floor_ms quantifies.
         print(f"# slow dispatch session detected ({p50:.2f} ms); "
-              f"restarting (attempt {attempt + 1}/3)", flush=True)
+              f"restarting (attempt {attempt + 1}/1)", flush=True)
         os.environ["CHEETA_BENCH_REEXEC"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     if p50 > 5.0:
         print(f"# WARNING: degraded dispatch floor persists ({p50:.2f} ms); "
-              "batch-1 latencies below include ~this much per-call transport",
-              flush=True)
+              "batch-1 wall latencies below include ~this much per-call "
+              "transport (the *_device_ms fields do not)", flush=True)
+    return p50
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    _guard_against_slow_session()
+    dispatch_floor_ms = _guard_against_slow_session()
 
     # Persistent compile cache: the slow-session re-execs and repeated
     # driver runs then skip the multi-second XLA compiles (verified to work
@@ -95,6 +116,9 @@ def main():
                                                    build_centroidal_solver)
     from cheeta_mpc_tpu.ops.ocpqp import IpmSettings
     from cheeta_mpc_tpu.solvers.scp import ScpSettings
+    from cheeta_mpc_tpu.utils.device_timing import (V5E_PEAK_FLOPS,
+                                                    centroidal_solve_flops,
+                                                    device_time_per_call)
 
     horizon = 10
     cfg = CentroidalMpcConfig(mass=8.0, num_legs=4, horizon=horizon, dt=0.01,
@@ -102,18 +126,31 @@ def main():
                               dtype=jnp.float32)
     # Deployment-quality solve: 2 SQP iterations (vs the reference legged
     # task's real-time-iteration 1, task.info:34), 10 IPM iterations.
-    scp = ScpSettings(iterations=2, ipm=IpmSettings(iters=10))
+    # Batched fleet config runs matmul_precision='high' (bf16_3x): measured
+    # 1e-4 N GRF delta vs the full-f32 'highest' default at N=10 — far
+    # inside every tolerance — for ~24% more throughput. The batch-1
+    # real-time paths keep the 'highest' floor (in-kernel).
+    scp = ScpSettings(iterations=2, ipm=IpmSettings(iters=10),
+                      matmul_precision='high')
     solve_one = build_centroidal_solver(cfg, scp)
 
     # ---- throughput at batch 1024 (the scaling headline) --------------------
-    # 1024 is the measured sweet spot on v5e (+12% over 512; 2048 regresses).
+    # 1024 is the device-measured sweet spot on v5e (512 ties, 2048+
+    # regresses — HBM working-set pressure).
     batch = 1024
     solve_b = jax.jit(jax.vmap(solve_one))
     state, des_state, des_inputs = make_example_inputs(cfg, batch=batch)
+    # Pin batch element 0 to the exact batch-1 scenario: the batched scan
+    # solve then doubles as the scan-path oracle for the fused-kernel
+    # batch-1 solve below, with no extra batch-1 scan compile.
+    s1, d1, i1 = make_example_inputs(cfg)  # unbatched scenario
+    state[0], des_state[0], des_inputs[0] = s1, d1, i1
     args_b = tuple(jnp.asarray(a, cfg.dtype)
                    for a in (state, des_state, des_inputs))
+    _t0 = time.perf_counter()
     force = np.asarray(solve_b(*args_b).contact_force)
     assert np.isfinite(force).all()
+    print(f"# batched scan solve compiled+ran t={time.perf_counter()-_t0:.0f}s", flush=True)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -121,23 +158,39 @@ def main():
     dt_s = (time.perf_counter() - t0) / reps
     solves_per_s = batch / dt_s
 
+    # Device-side execution time of the same batch (dispatch-independent).
+    fn_b = jax.vmap(lambda s, d, i: solve_one(s, d, i).contact_force)
+    dev_batch_s = device_time_per_call(fn_b, args_b, k_small=2, k_big=8)
+    print(f"# batch device-time done: {dev_batch_s*1e3:.1f} ms", flush=True)
+    dev_solves_per_s = batch / dev_batch_s
+    flops_per_solve = centroidal_solve_flops(horizon, 33, 24, 32, 2, 10)
+    mfu = batch * flops_per_solve / dev_batch_s / V5E_PEAK_FLOPS
+
     # ---- batch-1 cold latency ----------------------------------------------
-    # The real-time path uses the condensed backend (HPIPM's condensing-mode
-    # analogue): ~2x lower sequential latency than the Riccati scan at short
-    # horizons (PERF.md table), with the whole dense IPM fused into one
-    # VMEM-resident Pallas kernel (ops/pallas_ipm.py).
+    # The real-time path uses the fused Riccati-structured IPM Pallas kernel
+    # (ops/pallas_ipm_riccati.py): the whole fixed-iteration Mehrotra loop is
+    # VMEM-resident in one kernel — ~1.6 ms device time for the full 2x10
+    # solve (the BLASFEO/HPIPM sqrt-Riccati role, HpipmInterface.cpp:281-301).
     cold_scp = ScpSettings(iterations=2, ipm=IpmSettings(iters=10),
-                           qp_backend='condensed_pallas')
+                           qp_backend='riccati_pallas')
     solve1 = jax.jit(build_centroidal_solver(cfg, cold_scp))
-    s1, d1, i1 = make_example_inputs(cfg)
     args1 = tuple(jnp.asarray(a, cfg.dtype) for a in (s1, d1, i1))
     f_cold = lambda *a: solve1(*a).contact_force
-    np.asarray(f_cold(*args1))
+    force1 = np.asarray(f_cold(*args1))
+    print("# batch-1 riccati_pallas compiled", flush=True)
     cold_p50, cold_p99 = _percentiles(f_cold, args1, 50)
+    solve1_nj = build_centroidal_solver(cfg, cold_scp)
+    dev_b1_s = device_time_per_call(
+        lambda *a: solve1_nj(*a).contact_force, args1)
+
+    # ---- on-TPU oracle: compiled riccati_pallas kernel vs the scan path ----
+    # (batch element 0 of the batched scan solve is the same scenario.)
+    kerr = np.abs(force1 - force[0]).max()
+    assert kerr < 0.5, f"riccati_pallas vs scan GRF mismatch: {kerr} N"
 
     # ---- batch-1 warm MPC tick (the 50 Hz loop) ----------------------------
     rti = ScpSettings(iterations=1, ipm=IpmSettings(iters=6),
-                      qp_backend='condensed_pallas')
+                      qp_backend='riccati_pallas')
     solve_warm = jax.jit(build_centroidal_solver(cfg, rti))
 
     def tick(state, des_state, des_inputs, x_prev, u_prev):
@@ -170,11 +223,10 @@ def main():
         "/root/reference/ocs2_legged_robot/config/mpc/task.info",
         cone_mode='soft', dtype=jnp.float32)  # horizon = 1.0 s / 0.015 = 67
     # RTI (task.info:34) with the fused Pallas eq-Riccati kernel — the
-    # full backward/forward pass is one kernel, ~1 ms of device time
-    # (PERF.md).
-    lsolve = jax.jit(build_legged_solver(
-        lcfg, ScpSettings(iterations=1,
-                          ipm=IpmSettings(eq_backend='pallas'))))
+    # full backward/forward pass is one kernel, ~0.7 ms of device time.
+    lsolve_nj = build_legged_solver(
+        lcfg, ScpSettings(iterations=1, ipm=IpmSettings(eq_backend='pallas')))
+    lsolve = jax.jit(lsolve_nj)
     NL_ = lcfg.horizon
     x0l = np.zeros(24, np.float32)
     x0l[8] = 0.3
@@ -189,15 +241,21 @@ def main():
                   for a in (x0l, x_ref, enable, zp, zv))
     f_leg = lambda *a: lsolve(*a).forces
     lf = np.asarray(f_leg(*largs))
+    print("# legged eq-pallas compiled", flush=True)
     leg_p50, leg_p99 = _percentiles(f_leg, largs, 30)
     assert np.isfinite(lf).all()
+    dev_leg_s = device_time_per_call(lambda *a: lsolve_nj(*a).forces, largs)
 
     # ---- batched legged throughput (BASELINE config 4 at fleet scale) ------
     lbatch = 512
+    # Fleet config at matmul_precision='high': 0.06 N force delta vs the
+    # 'highest' floor at N=67 (~0.02% of stance forces), documented in PERF.
     lsolve_b = jax.jit(jax.vmap(build_legged_solver(
-        lcfg, ScpSettings(iterations=1, ipm=IpmSettings(eq_backend='scan')))))
+        lcfg, ScpSettings(iterations=1, ipm=IpmSettings(eq_backend='scan'),
+                          matmul_precision='high'))))
     x0b = np.tile(x0l, (lbatch, 1)).astype(np.float32)
-    x0b[:, 0] = 0.05 * np.random.default_rng(0).standard_normal(lbatch)
+    x0b[:, 0] += 0.05 * np.random.default_rng(0).standard_normal(lbatch)
+    x0b[0] = x0l  # element 0 = the batch-1 scenario (scan-path oracle)
     bargs = (jnp.asarray(x0b),
              jnp.asarray(np.repeat(x0b[:, None, :], NL_ + 1, axis=1)),
              jnp.asarray(np.tile(enable, (lbatch, 1, 1))),
@@ -205,12 +263,16 @@ def main():
              jnp.asarray(np.tile(zv, (lbatch, 1, 1))))
     lfb = np.asarray(lsolve_b(*bargs).forces)
     assert np.isfinite(lfb).all()
-    t0 = time.perf_counter()
-    for _ in range(5):
-        lfb = np.asarray(lsolve_b(*bargs).forces)
-    leg_batch_sps = lbatch / ((time.perf_counter() - t0) / 5)
+    # ---- on-TPU oracle: compiled eq-Riccati kernel vs the scan path --------
+    # (batch element 0 of the batched scan solve is the same scenario.)
+    lerr = np.abs(lf - lfb[0]).max()
+    assert lerr < 0.5, f"eq-Riccati pallas vs scan force mismatch: {lerr} N"
+    # p50 of per-rep batch latency (not a plain mean): robust to the known
+    # large transport variance of the axon relay.
+    lb_p50, _ = _percentiles(lambda *a: lsolve_b(*a).forces, bargs, 9)
+    leg_batch_sps = lbatch / (lb_p50 / 1e3)
 
-    # ---- on-TPU f32 test tier ----------------------------------------------
+    # ---- on-TPU f32 structural tier ----------------------------------------
     # Swing legs carry exactly zero force (structural gating).
     table = np.zeros((batch, 4, horizon), bool)
     for i in range(4):
@@ -230,17 +292,28 @@ def main():
         "vs_baseline": round(solves_per_s / 625.0, 3),
         "batch": batch,
         "batch_latency_ms": round(dt_s * 1e3, 3),
+        "batch_device_ms": round(dev_batch_s * 1e3, 2),
+        "device_solves_per_s": round(dev_solves_per_s, 1),
+        "batch_matmul_precision": "high",
+        "mfu_pct": round(100.0 * mfu, 3),
+        "flops_per_solve_M": round(flops_per_solve / 1e6, 1),
         "batch1_cold_p50_ms": cold_p50,
         "batch1_cold_p99_ms": cold_p99,
+        "batch1_device_ms": round(dev_b1_s * 1e3, 3),
         "batch1_warm_p50_ms": warm_p50,
         "batch1_warm_p99_ms": warm_p99,
+        "dispatch_floor_ms": round(dispatch_floor_ms, 2),
         "legged_N": int(NL_),
         "legged_p50_ms": leg_p50,
         "legged_p99_ms": leg_p99,
+        "legged_device_ms": round(dev_leg_s * 1e3, 3),
         "legged_solves_per_s_chip_N67": round(1000.0 / leg_p50, 1),
         "legged_batch_solves_per_s_chip_N67": round(leg_batch_sps, 1),
         "legged_batch": lbatch,
+        "kernel_vs_scan_grf_err_N": round(float(kerr), 4),
+        "eq_kernel_vs_scan_force_err_N": round(float(lerr), 4),
         "f32_tier": "pass",
+        "tpu_selftest": "pass",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -169,7 +169,6 @@ def _factor_solve(F, Hb: jnp.ndarray, rhs: jnp.ndarray, method: str):
 def solve_ocp_qp_condensed(data: OcpQpData,
                            settings: IpmSettings = IpmSettings(),
                            factor: str = 'cholesky',
-                           engine: str = 'xla',
                            ) -> OcpQpSolution:
     """Solve a constrained OCP-QP by condensing + dense Mehrotra IPM.
 
@@ -178,9 +177,13 @@ def solve_ocp_qp_condensed(data: OcpQpData,
     ``factor`` selects the dense factorization ('cholesky' = XLA native,
     the TPU path; 'spd_inverse' = all-GEMM explicit inverse, small f64
     oracles only — its trace-time unrolling does not scale to N*nu ~ 240).
-    ``engine`` selects the IPM executor: 'xla' = the lax.scan below;
-    'pallas' = the fused single-kernel IPM (ops/pallas_ipm.py, f32 —
-    lowest batch-1 latency on TPU; f64 problems fall back to 'xla').
+
+    Role (mirrors HPIPM's condensing mode next to its Riccati mode): the
+    dense cross-check/oracle backend. The production batch-1 path is the
+    fused Riccati-IPM Pallas kernel (ops/pallas_ipm_riccati.py), which
+    retired the former dense Pallas engine in round 4: at N=10 the two tied
+    on device time (1.50 vs 1.59 ms) while the dense kernel lost 6.5x at
+    batch 1024 and scales O((N nu)^3) in horizon.
     """
     qp = condense(data)
     dt = data.dx0.dtype
@@ -198,17 +201,6 @@ def solve_ocp_qp_condensed(data: OcpQpData,
         # Unconstrained: one dense solve (or defer to Riccati for gains).
         from cheeta_mpc_tpu.ops.riccati import solve_lqr
         return solve_lqr(data, reg=settings.reg)
-
-    if engine == 'pallas' and dt != jnp.float64:
-        # Fused single-kernel IPM: the whole solve stays VMEM-resident.
-        from cheeta_mpc_tpu.ops.pallas_ipm import pallas_dense_ipm
-        z, s_l, s_u, lam_l, lam_u, mu, stat = pallas_dense_ipm(
-            qp.H, qp.g0, qp.Ghat, qp.ghat, qp.lg, qp.ug, qp.mask,
-            iters=settings.iters, tau=settings.tau, mu0=settings.mu0,
-            s0_min=settings.s0_min, reg=settings.reg, w_max=w_max,
-            mu_tol=mu_tol, interpret=jax.default_backend() == 'cpu')
-        state = _DenseState(z=z, s_l=s_l, s_u=s_u, lam_l=lam_l, lam_u=lam_u)
-        return _expand_solution(data, qp, state, mu, settings, w_max)
 
     # --- initialization (same rule as the Riccati-backend IPM) -------------
     g = qp.Ghat @ jnp.zeros((M,), dt) + qp.ghat
@@ -300,7 +292,7 @@ def solve_ocp_qp_condensed(data: OcpQpData,
 def _expand_solution(data: OcpQpData, qp: CondensedQp, state: _DenseState,
                      mu, settings: IpmSettings, w_max) -> OcpQpSolution:
     """Expand a dense-IPM iterate back to the OCP trajectory + Riccati gains
-    (shared tail of the 'xla' and 'pallas' engines)."""
+    (kept as a separate function for the dense-oracle tests)."""
     N, nx, nu = data.dyn.horizon, data.dyn.nx, data.dyn.nu
     ng = data.con.ng
     m = qp.mask

@@ -65,6 +65,31 @@ def _gj_inverse(M):
     return A[:, n:]
 
 
+def spd_inverse_kernel(M, n, precision=None):
+    """Equilibrated Gauss-Jordan inverse, in-kernel.
+
+    Plain GJ loses accuracy once the SPD matrix is ill-conditioned (the
+    Riccati G absorbs B'PB with P growing over long horizons; the IPM's
+    barrier-augmented G reaches condition ~1/mu). Jacobi pre-equilibration
+    ``M^-1 = D (D M D)^-1 D`` with ``D = diag(1/sqrt(diag M))`` restores
+    scan-path (recursive-Schur) agreement; measured on the N=67 legged
+    solve the unequilibrated version was off by ~3% in forces (bench.py
+    eq-kernel oracle), and 3x worse on the random nc=16 oracle.
+
+    Deliberately NO Newton refinement ``X <- X (2I - M X)``: at condition
+    ~1e7 the f32 residual ``2I - MX`` suffers catastrophic cancellation and
+    the "refined" inverse is measurably WORSE (0.043 vs 0.009 max error on
+    the nc=16 oracle). ``precision`` is accepted for parity with callers
+    but unused — the inverse itself is division/VPU work."""
+    del precision
+    dt = M.dtype
+    eye = jnp.eye(n, dtype=dt)
+    d = jnp.sum(M * eye, axis=1, keepdims=True)  # (n, 1) diagonal
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    X = _gj_inverse(s * M * s.T)
+    return s * X * s.T  # undo equilibration
+
+
 def _eq_lqr_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
                    C_ref, D_ref, e_ref, m_ref, dx0_ref,
                    dx_ref, du_ref, K_ref, k_ref, P_ref, p_ref,
@@ -93,12 +118,24 @@ def _eq_lqr_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
         mk = m_ref[pl.ds(k, 1)]  # (1, nc)
 
         def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=dt)
+            # precision=HIGHEST: Mosaic's f32 dot defaults to a single bf16
+            # MXU pass; over a 67-stage recursion the truncation compounds
+            # to O(10 N) force errors (bench.py eq-kernel oracle). The
+            # multi-pass f32 algorithm restores scan-path agreement at
+            # negligible cost (these matmuls are latency-bound).
+            return jnp.dot(a, b, preferred_element_type=dt,
+                           precision=jax.lax.Precision.HIGHEST)
 
         PA = mm(P_next, A)  # (nx, nx)
         PB = mm(P_next, B)  # (nx, nu)
         G = R_ref[k] + mm(B.T, PB) + reg * eye_u
         H = S_ref[k] + mm(B.T, PA)  # (nu, nx)
+        # Plain GJ here (not the equilibrated variant): on the real legged
+        # problem both agree with the scan path to ~3e-4 (the 8.8 N TPU
+        # mismatch was bf16 matmul precision, fixed via mm()'s HIGHEST),
+        # and on the near-singular synthetic N=67 oracle plain GJ is the
+        # more robust of the two. The IPM kernel uses the equilibrated
+        # variant because its barrier-conditioned G genuinely needs it.
         Ginv = _gj_inverse(0.5 * (G + G.T))
         Y = mm(Ginv, Dk.T)  # (nu, nc)
         Lam = mm(Dk, Y) + eye_c * (eps * (1.0 - mk))  # row broadcast -> diag
@@ -133,12 +170,16 @@ def _eq_lqr_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
 
     def forward(k, carry):
         dx = dx_ref[pl.ds(k, 1)]  # (1, nx)
-        du = (jnp.dot(dx, K_ref[k].T, preferred_element_type=jnp.float32)
+        hi = jax.lax.Precision.HIGHEST  # see mm() in the backward pass
+        du = (jnp.dot(dx, K_ref[k].T, preferred_element_type=jnp.float32,
+                      precision=hi)
               + k_ref[pl.ds(k, 1)])  # (1, nu)
         du_ref[pl.ds(k, 1)] = du
         dx_ref[pl.ds(k + 1, 1)] = (
-            jnp.dot(dx, A_ref[k].T, preferred_element_type=jnp.float32)
-            + jnp.dot(du, B_ref[k].T, preferred_element_type=jnp.float32)
+            jnp.dot(dx, A_ref[k].T, preferred_element_type=jnp.float32,
+                    precision=hi)
+            + jnp.dot(du, B_ref[k].T, preferred_element_type=jnp.float32,
+                      precision=hi)
             + b_ref[pl.ds(k, 1)])
         return carry
 

@@ -82,10 +82,11 @@ class ScpSettings(NamedTuple):
     # reference backtracks sequentially, we evaluate the ladder at once).
     alphas: tuple = (1.0, 0.5, 0.25, 0.125)
     # QP backend: 'riccati' (O(N) scan, any horizon, stage equalities),
-    # 'condensed' (states eliminated, dense MXU GEMMs — fastest for short
-    # horizons, no stage equalities) or 'condensed_pallas' (same dense IPM
-    # fused into a single VMEM-resident Pallas kernel, ops/pallas_ipm.py —
-    # lowest batch-1 latency on TPU). Mirrors HPIPM's two modes.
+    # 'riccati_pallas' (the same structured IPM fused into one VMEM-resident
+    # Pallas kernel, ops/pallas_ipm_riccati.py — lowest batch-1 latency on
+    # TPU), or 'condensed' (states eliminated, dense MXU GEMMs; HPIPM's
+    # condensing mode analogue — kept for cross-checks and as the dense
+    # oracle).
     qp_backend: str = 'riccati'
     # Filter-acceptance thresholds (reference defaults).
     g_max: float = 1e6
@@ -95,6 +96,11 @@ class ScpSettings(NamedTuple):
     # Convergence classification tolerances.
     cost_tol: float = 1e-4  # costTol
     delta_tol: float = 1e-6  # deltaTol
+    # f32 matmul algorithm on TPU: 'highest' = multi-pass full-f32 (the
+    # accuracy floor the oracles certify — default), 'high' = bf16_3x
+    # (~2 mantissa bits cheaper, ~30% faster batched), 'default' = one bf16
+    # pass (DO NOT use for long horizons: ~9 N GRF error at N=67).
+    matmul_precision: str = 'highest'
 
 
 class StepInfo(NamedTuple):
@@ -151,15 +157,38 @@ def solve_nonlinear_ocp(
     :class:`PerformanceIndex` at an iterate with ``merit`` already combined
     (cost + penalty on violations) — the line-search metric.
     """
+    # f32 matmul precision: on TPU, f32 dot/einsum at DEFAULT precision runs
+    # a single bf16 MXU pass (~8-bit mantissa). Over a 67-stage Riccati
+    # recursion that compounds to ~9 N GRF error vs the f64 oracle (measured
+    # on the legged task); 'highest' (the multi-pass f32 algorithm) restores
+    # 4e-4 N agreement. The context applies at trace time to everything the
+    # solver traces — linearization, QP backends, line search. Reference
+    # parity note: HPIPM/BLASFEO run f64 throughout; f32-highest is this
+    # framework's precision floor, certified by tests/test_golden_grf.py and
+    # the bench kernel-vs-scan oracles.
+    with jax.default_matmul_precision(settings.matmul_precision):
+        return _solve_nonlinear_ocp(linearize, performance, x_init, u_init,
+                                    settings)
+
+
+def _solve_nonlinear_ocp(
+    linearize: Callable[[jnp.ndarray, jnp.ndarray], OcpQpData],
+    performance: Callable[[jnp.ndarray, jnp.ndarray], PerformanceIndex],
+    x_init: jnp.ndarray,
+    u_init: jnp.ndarray,
+    settings: ScpSettings = ScpSettings(),
+) -> ScpResult:
     alphas = np.asarray(settings.alphas, x_init.dtype)
     if settings.qp_backend == 'condensed':
         from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
         qp_solve = solve_ocp_qp_condensed
-    elif settings.qp_backend == 'condensed_pallas':
+    elif settings.qp_backend == 'riccati_pallas':
         import functools
 
-        from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
-        qp_solve = functools.partial(solve_ocp_qp_condensed, engine='pallas')
+        from cheeta_mpc_tpu.ops.pallas_ipm_riccati import pallas_solve_ocp_qp
+        qp_solve = functools.partial(
+            pallas_solve_ocp_qp,
+            interpret=jax.default_backend() == 'cpu')
     elif settings.qp_backend == 'riccati':
         qp_solve = solve_ocp_qp
     else:

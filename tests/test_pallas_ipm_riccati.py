@@ -1,22 +1,23 @@
-"""Fused dense-IPM Pallas kernel: equivalence with the XLA condensed engine.
+"""Fused Riccati-IPM Pallas kernel: equivalence with the scan-based solver.
 
-The kernel (ops/pallas_ipm.py) implements the exact same Mehrotra
-predictor-corrector as the condensed backend's lax.scan loop — same init,
-same freeze/guard semantics — so on any f32 problem the two engines must
-produce matching primal/dual solutions, and both must certify via the KKT
-oracle. Runs in Pallas interpret mode on CPU CI; the TPU path is exercised
-by bench.py's f32 tier.
+The kernel (ops/pallas_ipm_riccati.py) implements the exact same fixed-
+iteration Mehrotra predictor-corrector as ops/ocpqp.solve_ocp_qp — same
+init, same barrier algebra, same freeze/guard semantics, but with the whole
+loop VMEM-resident in one pallas_call — so on any f32 inequality-constrained
+problem the two must produce matching primal/dual solutions, and both must
+certify via the KKT oracle. Runs in Pallas interpret mode on CPU CI; the TPU
+compiled path is exercised by ``bench.py --selftest``.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
 from cheeta_mpc_tpu.ops.ocpqp import IpmSettings, kkt_residuals, solve_ocp_qp
+from cheeta_mpc_tpu.ops.pallas_ipm_riccati import pallas_solve_ocp_qp
 from tests.problem_gen import add_random_constraints, random_lq_problem
 
-SETTINGS = IpmSettings(iters=25)
+SETTINGS = IpmSettings(iters=20)
 
 
 def _to_f32(data):
@@ -24,35 +25,36 @@ def _to_f32(data):
         lambda x: x.astype(jnp.float32) if hasattr(x, 'astype') else x, data)
 
 
-def test_pallas_engine_matches_xla_engine():
-    """Same algorithm, two executors: per-iterate equivalence in f32."""
-    rng = np.random.default_rng(21)
+def test_kernel_matches_scan_solver():
+    """Same algorithm, two executors: equivalence in f32."""
+    rng = np.random.default_rng(31)
     for trial in range(3):
         data = random_lq_problem(rng, N=8, nx=5, nu=3)
         data = add_random_constraints(rng, data, ng=4, tight=0.4)
         d32 = _to_f32(data)
-        sol_p = solve_ocp_qp_condensed(d32, SETTINGS, engine='pallas')
-        sol_x = solve_ocp_qp_condensed(d32, SETTINGS, engine='xla')
+        sol_p = pallas_solve_ocp_qp(d32, SETTINGS, interpret=True)
+        sol_x = solve_ocp_qp(d32, SETTINGS)
         # Identical algorithm in identical precision; the only difference is
-        # factorization roundoff (GJ inverse + refinement vs equilibrated
-        # Cholesky), which compounds slightly over the iteration paths.
+        # factorization roundoff (in-kernel Gauss-Jordan vs the scan path's
+        # Schur-recursive SPD inverse), compounding over the iteration path.
         np.testing.assert_allclose(np.asarray(sol_p.du),
                                    np.asarray(sol_x.du), atol=2e-3)
         np.testing.assert_allclose(np.asarray(sol_p.dx),
                                    np.asarray(sol_x.dx), atol=2e-3)
         np.testing.assert_allclose(np.asarray(sol_p.lam_l),
                                    np.asarray(sol_x.lam_l), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(sol_p.gains.K),
+                                   np.asarray(sol_x.gains.K), atol=2e-2)
 
 
-def test_pallas_engine_against_f64_riccati():
-    """The fused kernel's f32 solve lands near the f64 Riccati optimum."""
-    rng = np.random.default_rng(22)
+def test_kernel_against_f64_riccati():
+    """The fused kernel's f32 solve lands near the f64 optimum and
+    certifies on the KKT oracle."""
+    rng = np.random.default_rng(32)
     data = random_lq_problem(rng, N=10, nx=6, nu=4)
     data = add_random_constraints(rng, data, ng=5, tight=0.3)
     ref = solve_ocp_qp(data, IpmSettings(iters=30))
-    sol = solve_ocp_qp_condensed(_to_f32(data), SETTINGS, engine='pallas')
-    # f32 + convergence freeze at mu_tol=1e-4 bounds the accuracy (same
-    # bound as the XLA f32 engines, tests/test_condensed.py).
+    sol = pallas_solve_ocp_qp(_to_f32(data), SETTINGS, interpret=True)
     np.testing.assert_allclose(np.asarray(sol.du), np.asarray(ref.du),
                                atol=2e-2)
     res = jax.tree.map(float, kkt_residuals(_to_f32(data), sol))
@@ -61,20 +63,20 @@ def test_pallas_engine_against_f64_riccati():
     assert res['dynamics'] < 1e-3, res
 
 
-def test_pallas_engine_f64_falls_back_to_xla():
-    """f64 problems must not be silently downcast (ADVICE r2 semantics)."""
-    rng = np.random.default_rng(23)
+def test_kernel_f64_falls_back_to_scan():
+    """f64 problems must not be silently downcast."""
+    rng = np.random.default_rng(33)
     data = random_lq_problem(rng, N=5, nx=4, nu=3)
     data = add_random_constraints(rng, data, ng=3, tight=0.5)
-    sol = solve_ocp_qp_condensed(data, SETTINGS, engine='pallas')
+    sol = pallas_solve_ocp_qp(data, SETTINGS, interpret=True)
     assert sol.du.dtype == jnp.float64
     res = jax.tree.map(float, kkt_residuals(data, sol))
     assert res['stationarity'] < 1e-5, res
 
 
-def test_centroidal_solver_condensed_pallas_backend():
+def test_centroidal_solver_riccati_pallas_backend():
     """The north-star centroidal solve runs end-to-end on the fused kernel
-    and matches the XLA condensed backend on GRFs."""
+    and matches the scan backend on GRFs."""
     from cheeta_mpc_tpu.examples import TEST_WEIGHTS, make_example_inputs
     from cheeta_mpc_tpu.mpc.centroidal_mpc import (CentroidalMpcConfig,
                                                    build_centroidal_solver)
@@ -87,12 +89,12 @@ def test_centroidal_solver_condensed_pallas_backend():
     args = tuple(jnp.asarray(a, jnp.float32)
                  for a in (state, des_state, des_inputs))
     outs = {}
-    for backend in ('condensed', 'condensed_pallas'):
+    for backend in ('riccati', 'riccati_pallas'):
         solve = build_centroidal_solver(
             cfg, ScpSettings(iterations=2, ipm=IpmSettings(iters=10),
                              qp_backend=backend))
         outs[backend] = solve(*args)
-    f_x, f_p = (np.asarray(outs['condensed'].contact_force),
-                np.asarray(outs['condensed_pallas'].contact_force))
+    f_s, f_p = (np.asarray(outs['riccati'].contact_force),
+                np.asarray(outs['riccati_pallas'].contact_force))
     assert np.all(np.isfinite(f_p))
-    np.testing.assert_allclose(f_p, f_x, atol=5e-2)
+    np.testing.assert_allclose(f_p, f_s, atol=5e-2)
