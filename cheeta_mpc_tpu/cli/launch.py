@@ -56,6 +56,8 @@ def _add_shared_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--switch-gait", default=None, metavar="NAME@T",
                     help="publish a live gait command at sim time T")
     ap.add_argument("--out", default="/tmp/cheeta_launch")
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="render the dummy-side run to a PNG (LeggedRobotVisualizer role)")
     ap.add_argument("--task-info", default=DEFAULT_TASK_INFO)
     ap.add_argument("--gait-info", default=DEFAULT_GAIT_INFO)
     ap.add_argument("--platform", default=None,
@@ -185,6 +187,7 @@ def run_dummy(args) -> int:
     n_steps = int(round(args.seconds / DT))
     t, x = 0.0, x0.copy()
     states = [x.copy()]
+    inputs = []
     times = [0.0]
     switched_at = None
     t_wall = time.perf_counter()
@@ -216,6 +219,7 @@ def run_dummy(args) -> int:
         x = plant_step(t, x, u)
         t += DT
         states.append(x.copy())
+        inputs.append(np.asarray(u, np.float64).copy())
         times.append(t)
     wall = time.perf_counter() - t_wall
 
@@ -231,7 +235,27 @@ def run_dummy(args) -> int:
         "switched_at": switched_at,
         "trylock_failures": mrt.trylock_failures,
     }
-    np.savez(f"{args.out}_traj.npz", times=np.asarray(times), states=xs)
+    us = np.asarray(inputs)
+    np.savez(f"{args.out}_traj.npz", times=np.asarray(times), states=xs,
+             inputs=us)
+    if getattr(args, "plot", None):
+        # Rendered visualization (LeggedRobotVisualizer role): derive feet
+        # by FK and forces from the applied inputs, then draw the PNG.
+        import jax.numpy as jnp
+
+        from cheeta_mpc_tpu.models.quadruped_kinematics import \
+            foot_positions_world
+        from cheeta_mpc_tpu.viz.render import render_run
+        feet = np.stack([np.asarray(foot_positions_world(
+            cfg.params.desc, jnp.asarray(s[6:9]), jnp.asarray(s[9:12]),
+            jnp.asarray(s[12:]))) for s in xs[1:]])
+        # align on post-step samples: inputs are one shorter than states
+        np.savez(f"{args.out}_viz.npz", times=np.asarray(times[1:]),
+                 states=xs[1:], feet=feet,
+                 forces=us[:, :12].reshape(-1, 4, 3))
+        render_run(f"{args.out}_viz.npz", args.plot,
+                   title=f"launch topology run ({args.solver})")
+        print(f"[dummy] wrote {args.plot}", flush=True)
     with open(f"{args.out}_summary.json", "w") as f:
         json.dump(summary, f)
     print("[dummy] " + json.dumps(summary), flush=True)

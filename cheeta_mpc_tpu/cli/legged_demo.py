@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--cone", choices=("soft", "pyramid"), default="soft",
                     help="friction treatment (soft = reference task.info)")
     ap.add_argument("--out", default="/tmp/legged_demo")
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="render the run to a PNG (feet/CoM/CoP/support "
+                         "polygon, per-leg forces, height, attitude — the "
+                         "LeggedRobotVisualizer rviz role, headless)")
     ap.add_argument("--task-info", default=
                     "/root/reference/ocs2_legged_robot/config/mpc/task.info")
     ap.add_argument("--gait-info", default=
@@ -94,8 +98,12 @@ def main(argv=None):
     else:
         from cheeta_mpc_tpu.mpc.legged_ddp import build_legged_ddp_solver
         from cheeta_mpc_tpu.solvers.ddp import DdpSettings
-        solve = jax.jit(build_legged_ddp_solver(cfg,
-                                                DdpSettings(iterations=5)))
+        # Configured from the task.info ddp block (reference
+        # LeggedRobotDdpMpcNode), with a deeper iteration budget than the
+        # file's RTI setting for the from-scratch demo.
+        ddp = DdpSettings.from_task_info(args.task_info, iterations=5)
+        solve = jax.jit(build_legged_ddp_solver(
+            cfg, ddp, eq_penalty=max(ddp.constraint_penalty, 100.0)))
     bench = Benchmarker()
     metrics_path = f"{args.out}_metrics.jsonl"
     metrics_f = open(metrics_path, "w")
@@ -192,6 +200,12 @@ def main(argv=None):
           f"{'OK' if rt_ok else 'EXCEEDED'} (avg {avg:.1f} ms)"
           + ("" if rt_ok else "  [reference delay-guard warning]"))
     print(f"  wrote {args.out}_traj.npz, {metrics_path}")
+    if args.plot:
+        from cheeta_mpc_tpu.viz.render import render_run
+        render_run(f"{args.out}_traj.npz", args.plot,
+                   title=f"legged {args.solver} ({args.cone} cone), "
+                         f"vx={args.vx} m/s")
+        print(f"  wrote {args.plot}")
     return 0
 
 

@@ -43,9 +43,11 @@ def gait_table(kind: str, horizon: int, num_legs: int = 4,
     Leg order is the reference's LF, RF, RH, LH
     (CentoidMPCTest.cpp:40-46). Pair gaits alternate their two leg pairs
     every ``horizon // 2`` steps like :func:`trot_table`; ``gallop`` is a
-    rotary four-beat footfall (each leg stance for half the cycle, lift-offs
-    staggered by a quarter cycle: LH, RH, LF, RF); ``stance`` keeps all feet
-    down.
+    stylized rotary four-beat footfall — hind pair then front pair with the
+    front pair's lateral order reversed (LH, RH, RF, LF), lift-offs
+    staggered by a quarter cycle at a constant 50% duty factor (a real
+    gallop has shorter stances; the constant duty keeps the contact count
+    per node fixed for the sweep); ``stance`` keeps all feet down.
     """
     pairs = {
         "trot": ((0, 2), (1, 3)),    # diagonal: LF+RH / RF+LH
@@ -63,9 +65,10 @@ def gait_table(kind: str, horizon: int, num_legs: int = 4,
                 table[k, leg] = 1.0
         return table
     if kind == "gallop":
-        # Rotary gallop footfall sequence LH, RH, LF, RF: leg i is in
-        # stance for the half-cycle starting at its phase offset.
-        offsets = {3: 0.0, 2: 0.25, 0: 0.5, 1: 0.75}  # leg -> cycle phase
+        # Rotary gallop footfall sequence LH, RH, RF, LF (front pair
+        # reverses the hind pair's lateral order): leg i is in stance for
+        # the half-cycle starting at its phase offset.
+        offsets = {3: 0.0, 2: 0.25, 1: 0.5, 0: 0.75}  # leg -> cycle phase
         for k in range(horizon):
             ph = ((k + phase) / max(horizon, 1)) % 1.0
             for leg, off in offsets.items():

@@ -44,7 +44,11 @@ class LeggedDdpSolution(NamedTuple):
     forces: jnp.ndarray  # (N, 4, 3) effective contact forces
     joint_vel: jnp.ndarray  # (N, 12)
     gains_K: jnp.ndarray  # (N, 24, 24) feedback of the last backward pass
+    gains_P: jnp.ndarray  # (N+1, 24, 24) value-function Hessians (the DDP
+    #                       cost-to-go surface, matching the SQP path)
+    gains_p: jnp.ndarray  # (N+1, 24) value-function gradients
     cost: jnp.ndarray
+    converged: jnp.ndarray  # bool (ddp.minRelCost classification)
 
 
 def build_legged_ddp_solver(cfg: LeggedMpcConfig,
@@ -111,6 +115,7 @@ def build_legged_ddp_solver(cfg: LeggedMpcConfig,
                                                                     None]
         return LeggedDdpSolution(x_traj=res.x, u_traj=res.u, forces=forces,
                                  joint_vel=res.u[:, 3 * NL:], gains_K=res.K,
-                                 cost=res.cost)
+                                 gains_P=res.P, gains_p=res.p,
+                                 cost=res.cost, converged=res.converged)
 
     return solve

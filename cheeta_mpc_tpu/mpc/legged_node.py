@@ -42,6 +42,9 @@ class PlannerSettings:
     sqp_iterations: int = 2
     ipm_iterations: int = 10
     ddp_iterations: int = 5
+    # Full DDP settings object (e.g. DdpSettings.from_task_info on the
+    # task.info ddp block); when set it wins over ddp_iterations.
+    ddp: Optional[object] = None
     com_height: Optional[float] = None  # default: from initial stance
     terrain_height: float = 0.0
     schedule_margin: float = 1.5  # seconds of schedule kept past the horizon
@@ -92,8 +95,15 @@ class LeggedPlannerAssembly:
         elif settings.solver == "ddp":
             from cheeta_mpc_tpu.mpc.legged_ddp import build_legged_ddp_solver
             from cheeta_mpc_tpu.solvers.ddp import DdpSettings
-            self._solve = jax.jit(build_legged_ddp_solver(
-                cfg, DdpSettings(iterations=settings.ddp_iterations)))
+            if settings.ddp is not None:
+                # Configured from the task.info ddp block: the equality
+                # penalty is the file's constraintPenaltyInitialValue.
+                ddp = settings.ddp
+                self._solve = jax.jit(build_legged_ddp_solver(
+                    cfg, ddp, eq_penalty=ddp.constraint_penalty))
+            else:
+                self._solve = jax.jit(build_legged_ddp_solver(
+                    cfg, DdpSettings(iterations=settings.ddp_iterations)))
         else:
             raise ValueError(f"unknown solver {settings.solver!r}")
 
@@ -187,7 +197,11 @@ class LeggedPlannerAssembly:
             P = np.asarray(sol.gains_P, np.float64)
             p = np.asarray(sol.gains_p, np.float64)
         else:
-            self.last_metrics.update({"cost": float(sol.cost)})
+            self.last_metrics.update({"cost": float(sol.cost),
+                                      "converged": bool(sol.converged)})
+            # DDP value-function surface: same policy fields as SQP mode.
+            P = np.asarray(sol.gains_P, np.float64)
+            p = np.asarray(sol.gains_p, np.float64)
         policy = PolicyData(times=times,
                             x_traj=np.asarray(sol.x_traj, np.float64),
                             u_traj=u_host,

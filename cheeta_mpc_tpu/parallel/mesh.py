@@ -12,9 +12,10 @@ collectives only for metric reductions (psum of solve counters / residuals).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -94,3 +95,65 @@ def sharded_batch_solver(solve_one: Callable, mesh: Mesh,
             lambda a: jax.lax.with_sharding_constraint(a, sharding), out)
 
     return jax.jit(fn, static_argnums=tuple(static_argnums))
+
+
+class FleetHealth(NamedTuple):
+    """Mesh-global solver-health aggregate (one record for the whole fleet).
+
+    The multi-device analogue of the per-solve health surface the reference
+    prints per robot (PerformanceIndex logging MultipleShootingSolver.cpp:
+    190-191, HPIPM status/NaN guard HpipmInterface.cpp:303-328): counts and
+    moments of the batch's solver outcomes, reduced across every device of
+    the mesh with explicit ICI collectives."""
+
+    n_solves: jnp.ndarray  # total batch elements across the mesh
+    n_converged: jnp.ndarray  # convergence code != CONV_FALSE/ITERATIONS
+    n_nonfinite: jnp.ndarray  # failed elements (NaN/Inf merit) — failure
+    #                           detection stays per-element, never throws
+    mu_mean: jnp.ndarray  # mean final IPM complementarity
+    mu_max: jnp.ndarray  # worst-case complementarity on any device
+    merit_mean: jnp.ndarray  # mean merit (fleet objective health)
+
+
+def aggregate_fleet_health(mesh: Mesh, qp_mu, convergence, merit,
+                           axis_name: str = "batch") -> FleetHealth:
+    """Reduce per-element solver health across the WHOLE mesh with explicit
+    ``jax.shard_map`` + ``psum``/``pmax`` collectives riding ICI.
+
+    Args are batch-leading arrays (the corresponding ``ScpResult`` /
+    ``CentroidalSolution`` fields, batch sharded over ``axis_name``).
+    Returns a replicated :class:`FleetHealth`. This is the framework's
+    cross-device reduction path — each device reduces its local shard to
+    scalars first, so the ICI traffic is O(1) per device regardless of
+    batch size.
+    """
+    from cheeta_mpc_tpu.solvers.scp import CONV_METRICS, CONV_PRIMAL, \
+        CONV_STEPSIZE
+
+    def local_reduce(mu, conv, mer):
+        # Per-device partial aggregates over the local shard...
+        finite = jnp.isfinite(mer)
+        conv_ok = ((conv == CONV_STEPSIZE) | (conv == CONV_METRICS)
+                   | (conv == CONV_PRIMAL))
+        n = jnp.asarray(mu.shape[0], jnp.float32)
+        partial = (n,
+                   jnp.sum(conv_ok.astype(jnp.float32)),
+                   jnp.sum((~finite).astype(jnp.float32)),
+                   jnp.sum(jnp.where(finite, mu, 0.0)),
+                   jnp.sum(jnp.where(finite, mer, 0.0)))
+        # ...then one explicit O(1) collective each across the mesh.
+        n_g, c_g, bad_g, mu_sum, mer_sum = (
+            jax.lax.psum(p, axis_name) for p in partial)
+        mu_max = jax.lax.pmax(jnp.max(jnp.where(finite, mu, 0.0)), axis_name)
+        denom = jnp.maximum(n_g - bad_g, 1.0)
+        return FleetHealth(
+            n_solves=n_g.astype(jnp.int32),
+            n_converged=c_g.astype(jnp.int32),
+            n_nonfinite=bad_g.astype(jnp.int32),
+            mu_mean=mu_sum / denom, mu_max=mu_max,
+            merit_mean=mer_sum / denom)
+
+    fn = jax.shard_map(local_reduce, mesh=mesh,
+                       in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                       out_specs=P())  # replicated scalars
+    return jax.jit(fn)(qp_mu, convergence, merit)

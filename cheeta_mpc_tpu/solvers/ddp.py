@@ -31,6 +31,47 @@ class DdpSettings(NamedTuple):
     iterations: int = 5  # reference ddp maxNumIterations (1 in task.info)
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)
     reg: float = 1e-6  # Levenberg-style G regularization
+    # Convergence classification threshold (reference ddp.minRelCost: stop
+    # when the cost improvement of an iteration falls below it; here the
+    # fixed-iteration solver *classifies* the final iteration instead).
+    min_rel_cost: float = 1e-1
+    # Quadratic-penalty weight for the equality families in penalty-mode
+    # problems (reference ddp.constraintPenaltyInitialValue; the reference
+    # grows it by constraintPenaltyIncreaseRate across AL iterations — the
+    # fixed-iteration TPU solver uses the flat initial value).
+    constraint_penalty: float = 20.0
+    algorithm: str = "SLQ"  # reference ddp.algorithm (SLQ == Gauss-Newton)
+
+    @classmethod
+    def from_task_info(cls, path: str, **overrides) -> "DdpSettings":
+        """Ingest the ``ddp`` block of a reference task.info
+        (/root/reference/ocs2_legged_robot/config/mpc/task.info:50-99):
+        maxNumIterations, minRelCost, the lineSearch min/max step lengths
+        (expanded into the parallel alpha ladder with the solver's 0.5
+        decay), hessianCorrectionMultiple as the G regularization, and
+        constraintPenaltyInitialValue."""
+        from cheeta_mpc_tpu.utils.info_config import load_info
+        info = load_info(path)
+        ddp = info.get("ddp", {})
+        ls = ddp.get("lineSearch", {})
+        a_max = float(ls.get("maxStepLength", 1.0))
+        a_min = float(ls.get("minStepLength", 1e-2))
+        alphas = []
+        a = a_max
+        while a >= a_min and len(alphas) < 8:
+            alphas.append(a)
+            a *= 0.5
+        kw = dict(
+            iterations=int(ddp.get("maxNumIterations", 5)),
+            alphas=tuple(alphas) or (1.0,),
+            reg=float(ls.get("hessianCorrectionMultiple", 1e-6)),
+            min_rel_cost=float(ddp.get("minRelCost", 1e-1)),
+            constraint_penalty=float(
+                ddp.get("constraintPenaltyInitialValue", 20.0)),
+            algorithm=str(ddp.get("algorithm", "SLQ")),
+        )
+        kw.update(overrides)
+        return cls(**kw)
 
 
 class DdpResult(NamedTuple):
@@ -38,6 +79,13 @@ class DdpResult(NamedTuple):
     u: jnp.ndarray  # (N, nu)
     K: jnp.ndarray  # (N, nu, nx) feedback gains of the last backward pass
     cost: jnp.ndarray
+    # Value-function quadratic model of the last backward pass — the DDP
+    # analogue of the SQP path's Riccati cost-to-go surface (reference
+    # extracts the same {P, p} from HPIPM, HpipmInterface.cpp:400-455;
+    # ocs2_ddp exposes it as getValueFunction).
+    P: jnp.ndarray  # (N+1, nx, nx)
+    p: jnp.ndarray  # (N+1, nx)
+    converged: jnp.ndarray  # bool: final improvement < min_rel_cost
 
 
 def relaxed_barrier(h, mu: float, delta: float):
@@ -60,6 +108,16 @@ def solve_ddp(step: Callable, stage_cost: Callable, terminal_cost: Callable,
         terminal_cost(x) -> scalar
         x0: (nx,), u_init: (N, nu) warm start.
     """
+    # f32 matmul precision: see solvers/scp.solve_nonlinear_ocp — TPU f32
+    # dots default to one bf16 MXU pass, which corrupts long Riccati
+    # recursions; request the multi-pass f32 algorithm at trace time.
+    with jax.default_matmul_precision('highest'):
+        return _solve_ddp(step, stage_cost, terminal_cost, x0, u_init,
+                          settings)
+
+
+def _solve_ddp(step, stage_cost, terminal_cost, x0, u_init,
+               settings: DdpSettings) -> DdpResult:
     N, nu = u_init.shape
     nx = x0.shape[0]
     ks = jnp.arange(N)
@@ -112,7 +170,7 @@ def solve_ddp(step: Callable, stage_cost: Callable, terminal_cost: Callable,
         q = jnp.concatenate([qs, qN[None]])
         # Gauss-Newton: project out potential indefiniteness via G reg.
         factors = riccati_factorize(dyn, Q, Rs, Ss, reg=settings.reg)
-        kff, _ = riccati_vector(dyn, q, rs, factors)
+        kff, pvec = riccati_vector(dyn, q, rs, factors)
 
         # Parallel line-search ladder of closed-loop rollouts.
         def try_alpha(a):
@@ -125,11 +183,18 @@ def solve_ddp(step: Callable, stage_cost: Callable, terminal_cost: Callable,
         x_new = jnp.where(improved, xts[best], x_traj)
         u_new = jnp.where(improved, uts[best], u_traj)
         cost_new = jnp.where(improved, costs[best], base)
-        return (x_new, u_new, factors.K), cost_new
+        return ((x_new, u_new, (factors.K, factors.P, pvec)),
+                (cost_new, base - cost_new))
 
     x_init = rollout_open(u_init)
-    (x, u, K), costs = jax.lax.scan(
-        iteration, (x_init, u_init,
-                    np.zeros((N, nu, nx), x0.dtype)),
-        None, length=settings.iterations)
-    return DdpResult(x=x, u=u, K=K, cost=costs[-1])
+    gains0 = (np.zeros((N, nu, nx), x0.dtype),
+              np.zeros((N + 1, nx, nx), x0.dtype),
+              np.zeros((N + 1, nx), x0.dtype))
+    (x, u, (K, P, pvec)), (costs, drops) = jax.lax.scan(
+        iteration, (x_init, u_init, gains0), None,
+        length=settings.iterations)
+    # Convergence classification (reference ddp.minRelCost exit criterion,
+    # applied to the final iteration of the fixed budget).
+    converged = drops[-1] < settings.min_rel_cost
+    return DdpResult(x=x, u=u, K=K, cost=costs[-1], P=P, p=pvec,
+                     converged=converged)

@@ -111,3 +111,70 @@ def test_closed_loop_ddp_walks():
                           mrt_dt=DT, mpc_update_ratio=2, n_steps=n_steps,
                           use_feedback=True)
     np.testing.assert_array_equal(res.states, res2.states)
+
+
+def test_ddp_settings_from_task_info():
+    """The ddp block of the reference task.info is ingested faithfully
+    (task.info:50-99): SLQ, 1 iteration, line-search ladder from
+    max/minStepLength, hessianCorrectionMultiple as reg."""
+    s = DdpSettings.from_task_info(TASK_INFO)
+    assert s.algorithm == "SLQ"
+    assert s.iterations == 1  # maxNumIterations
+    assert s.min_rel_cost == 0.1
+    assert s.constraint_penalty == 20.0
+    assert s.reg == 1e-5  # lineSearch.hessianCorrectionMultiple
+    assert s.alphas[0] == 1.0  # maxStepLength
+    assert s.alphas[-1] >= 1e-2  # minStepLength floor
+    assert all(a > b for a, b in zip(s.alphas, s.alphas[1:]))
+    # Overrides win (node-level iteration bumps).
+    assert DdpSettings.from_task_info(TASK_INFO, iterations=7).iterations == 7
+
+
+def test_ddp_value_function_and_convergence():
+    """DDP exposes the value-function surface {P, p} like the SQP path and
+    classifies convergence per ddp.minRelCost; P is PSD along the horizon."""
+    solve = jax.jit(build_legged_ddp_solver(CFG, DdpSettings(iterations=5)))
+    x0 = standing_state()
+    x_ref = make_standing_reference(CFG, x0)
+    ones = np.ones((N, 4))
+    zeros = np.zeros((N, 4))
+    sol = solve(x0, x_ref, ones, zeros, zeros)
+    P = np.asarray(sol.gains_P)
+    p = np.asarray(sol.gains_p)
+    assert P.shape == (N + 1, 24, 24) and p.shape == (N + 1, 24)
+    assert np.isfinite(P).all() and np.isfinite(p).all()
+    eigs = np.linalg.eigvalsh(0.5 * (P + P.transpose(0, 2, 1)))
+    assert eigs.min() > -1e-6 * max(1.0, eigs.max())
+    # On the standing task 5 iterations are plenty: final improvement tiny.
+    assert bool(sol.converged)
+
+
+def test_sqp_vs_ddp_cross_check():
+    """The two solver paths (hard-constrained SQP vs penalty SLQ) agree on
+    the standing scenario's physics: same weight distribution and CoM
+    trajectory to penalty-method tolerance (reference parity:
+    LeggedRobotSqpMpcNode vs LeggedRobotDdpMpcNode on one task)."""
+    from cheeta_mpc_tpu.mpc.legged_mpc import build_legged_solver
+    from cheeta_mpc_tpu.ops.ocpqp import IpmSettings
+    from cheeta_mpc_tpu.solvers.scp import ScpSettings
+
+    x0 = standing_state()
+    x_ref = make_standing_reference(CFG, x0)
+    ones = np.ones((N, 4))
+    zeros = np.zeros((N, 4))
+    sol_d = jax.jit(build_legged_ddp_solver(CFG, DdpSettings(iterations=5)))(
+        x0, x_ref, ones, zeros, zeros)
+    sol_s = jax.jit(build_legged_solver(
+        CFG, ScpSettings(iterations=2, ipm=IpmSettings(iters=10))))(
+        x0, x_ref, ones, zeros, zeros)
+    f_d = np.asarray(sol_d.forces)
+    f_s = np.asarray(sol_s.forces)
+    # Per-node total vertical force: both support the weight.
+    np.testing.assert_allclose(f_d[:, :, 2].sum(axis=1),
+                               f_s[:, :, 2].sum(axis=1), rtol=0.1)
+    # Per-leg vertical forces agree to penalty-method tolerance.
+    np.testing.assert_allclose(f_d[:, :, 2], f_s[:, :, 2],
+                               atol=0.15 * np.abs(f_s[:, :, 2]).max())
+    # CoM height trajectories agree.
+    np.testing.assert_allclose(np.asarray(sol_d.x_traj)[:, 8],
+                               np.asarray(sol_s.x_traj)[:, 8], atol=5e-3)

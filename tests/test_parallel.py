@@ -74,3 +74,36 @@ def test_psum_metric_reduction():
         return jnp.sum(v)  # XLA inserts the cross-device reduction
 
     assert float(total(xs)) == sum(range(16))
+
+
+def test_aggregate_fleet_health():
+    """The framework's explicit shard_map+psum health reduction: correct
+    counts/moments, replicated result, O(1)-per-device collectives."""
+    from cheeta_mpc_tpu.parallel.mesh import aggregate_fleet_health
+    from cheeta_mpc_tpu.solvers.scp import (CONV_FALSE, CONV_ITERATIONS,
+                                            CONV_METRICS, CONV_STEPSIZE)
+    mesh = make_mesh()
+    B = 16
+    rng = np.random.default_rng(7)
+    mu = jnp.asarray(rng.uniform(1e-6, 1e-4, B))
+    conv = np.full(B, CONV_STEPSIZE, np.int32)
+    conv[3] = CONV_FALSE
+    conv[5] = CONV_ITERATIONS
+    conv[9] = CONV_METRICS
+    merit = rng.uniform(10.0, 20.0, B)
+    merit[7] = np.nan  # one failed element: masked, not thrown
+    args = shard_batch(mesh, (mu, jnp.asarray(conv), jnp.asarray(merit)))
+    with mesh:
+        h = aggregate_fleet_health(mesh, *args)
+    assert int(h.n_solves) == B
+    assert int(h.n_converged) == B - 2  # CONV_FALSE + CONV_ITERATIONS
+    assert int(h.n_nonfinite) == 1
+    finite = np.isfinite(merit)
+    np.testing.assert_allclose(float(h.merit_mean), merit[finite].mean(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(h.mu_mean),
+                               np.asarray(mu)[finite].mean(), rtol=1e-6)
+    np.testing.assert_allclose(float(h.mu_max),
+                               np.asarray(mu)[finite].max(), rtol=1e-6)
+    # Replicated output: every device holds the same scalar.
+    assert len({s.device for s in h.mu_mean.addressable_shards}) == 8
