@@ -47,7 +47,17 @@ def stage_unroll(n_stages: int) -> int:
     sequencing-overhead-bound, not FLOP-bound: fully unrolling short horizons
     lets XLA fuse and pipeline across stages (measured ~2.4x on the batch-1
     N=10 solve on v5e). Longer horizons get a fixed partial unroll to bound
-    compile time."""
+    compile time.
+
+    ``CHEETA_STAGE_UNROLL`` overrides the factor (numerics are identical;
+    only fusion/pipelining changes): the CPU test suite sets it to 1 in
+    tests/conftest.py because Python *tracing* of the fully-unrolled solver
+    graphs — which no compile cache can amortize — dominated suite wall
+    time."""
+    import os
+    override = os.environ.get("CHEETA_STAGE_UNROLL")
+    if override:
+        return max(1, min(int(override), n_stages))
     return n_stages if n_stages <= 16 else 4
 
 

@@ -17,16 +17,66 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Keep stage scans rolled in CI: tracing the fully-unrolled solver graphs is
+# pure uncacheable Python time and dominated suite wall clock (numerics are
+# identical; the unroll is a TPU pipelining optimization, ops/riccati.py).
+os.environ.setdefault("CHEETA_STAGE_UNROLL", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: XLA compiles dominate test time on the small
-# CI machine; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+# CI machine; cache them across runs. The cache dir is keyed by the host
+# CPU's feature set: XLA:CPU AOT executables are machine-specific, and
+# loading an entry produced on a different host (this environment migrates
+# VMs between sessions) SIGILLs/segfaults mid-suite — the "rare
+# non-deterministic serialize segfault" of earlier rounds was this.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((ln for ln in f if ln.startswith("flags")), "")
+    _cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+except OSError:
+    _cpu_key = "generic"
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_cpu_{_cpu_key}")
 # Only cache genuinely slow compiles: every persistent-cache write calls
 # XLA's executable.serialize(), which has (rarely, non-deterministically)
 # segfaulted mid-suite under the full test load; a 1 s threshold keeps the
 # wins (the multi-second solver compiles) while cutting the number of
 # serialize calls ~10x.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound in-process XLA/jit state: with the full ~160-test suite in one
+    process, accumulated compiler state has (reproducibly, only in the full
+    run — any half passes) segfaulted XLA:CPU mid-compile around the ~90th
+    test. Clearing the in-memory caches between modules keeps the process
+    small; compiled artifacts reload from the persistent disk cache."""
+    yield
+    import jax
+    jax.clear_caches()
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (golden-GRF NLP oracles, multihost "
+             "subprocess, long closed-loop) — the once-per-round full tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run excludes the ``slow`` tier so plain ``pytest tests/``
+    stays under the CI wall-time budget; ``--runslow`` restores the full
+    suite (run once per round / before release)."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # NLP-oracle/subprocess tier: run with --runslow
+
 from cheeta_mpc_tpu.mpc.centroidal_mpc import (CentroidalMpcConfig,
                                                build_centroidal_solver)
 from cheeta_mpc_tpu.ops.ocpqp import IpmSettings

@@ -92,8 +92,9 @@ def test_two_process_launch_with_live_gait_switch(tmp_path):
     shared memory; a trot command is published live mid-run; the robot
     walks through the gait transition and stays upright."""
     out = str(tmp_path / "launch")
+    from tests.conftest import _cpu_key
     env = dict(os.environ, PYTHONPATH="/root/repo",
-               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cpu")
+               JAX_COMPILATION_CACHE_DIR=f"/tmp/jax_cache_cpu_{_cpu_key}")
     t0 = time.monotonic()
     proc = subprocess.run(
         [sys.executable, "-m", "cheeta_mpc_tpu.cli.launch",

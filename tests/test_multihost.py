@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # NLP-oracle/subprocess tier: run with --runslow
+
 WORKER = r"""
 import os, sys
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
