@@ -99,11 +99,62 @@ def _guard_against_slow_session():
     return p50
 
 
+class _ProgressWatchdog:
+    """The axon relay occasionally hangs a call indefinitely — observed both
+    at jax init and mid-run (9m50 of wall with seconds of CPU; the plugin
+    blocked in a socket wait). A process re-exec draws a fresh connection
+    and has always recovered it, and the persistent compile cache makes the
+    replay up to the hang point fast. Arm a timer that re-execs (3 attempts
+    max) whenever no progress has been reported for ``timeout_s``; call
+    :meth:`pet` at every stage boundary to reset it. Generous timeout:
+    legitimate cold compiles through the remote-compile tunnel take
+    minutes."""
+
+    def __init__(self, timeout_s: float = 270.0):
+        import os
+        import threading
+        self._timeout = timeout_s
+        self._os = os
+        self._threading = threading
+        self._timer = None
+        self._attempt = int(os.environ.get("CHEETA_BENCH_HANG_RETRY", "0"))
+        self.pet("start")
+
+    def _fire(self, stage):
+        import sys
+        if self._attempt < 3:
+            print(f"# no progress for {self._timeout:.0f}s after "
+                  f"'{stage}'; re-exec (attempt {self._attempt + 1}/3)",
+                  flush=True)
+            self._os.environ["CHEETA_BENCH_HANG_RETRY"] = str(
+                self._attempt + 1)
+            self._os.execv(sys.executable, [sys.executable] + sys.argv)
+        print(f"# hung after '{stage}' and retries exhausted; aborting",
+              flush=True)
+        self._os._exit(3)
+
+    def pet(self, stage: str) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = self._threading.Timer(self._timeout, self._fire,
+                                            args=(stage,))
+        self._timer.daemon = True
+        self._timer.start()
+
+    def disarm(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+
+
 def main():
+    dog = _ProgressWatchdog()
     import jax
     import jax.numpy as jnp
+    jax.devices()  # force backend init under the watchdog
+    dog.pet("jax init")
 
     dispatch_floor_ms = _guard_against_slow_session()
+    dog.pet("dispatch probe")
 
     # Persistent compile cache: the slow-session re-execs and repeated
     # driver runs then skip the multi-second XLA compiles (verified to work
@@ -151,6 +202,7 @@ def main():
     force = np.asarray(solve_b(*args_b).contact_force)
     assert np.isfinite(force).all()
     print(f"# batched scan solve compiled+ran t={time.perf_counter()-_t0:.0f}s", flush=True)
+    dog.pet("batched solve")
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -162,6 +214,7 @@ def main():
     fn_b = jax.vmap(lambda s, d, i: solve_one(s, d, i).contact_force)
     dev_batch_s = device_time_per_call(fn_b, args_b, k_small=2, k_big=8)
     print(f"# batch device-time done: {dev_batch_s*1e3:.1f} ms", flush=True)
+    dog.pet("batch device time")
     dev_solves_per_s = batch / dev_batch_s
     flops_per_solve = centroidal_solve_flops(horizon, 33, 24, 32, 2, 10)
     mfu = batch * flops_per_solve / dev_batch_s / V5E_PEAK_FLOPS
@@ -178,7 +231,9 @@ def main():
     f_cold = lambda *a: solve1(*a).contact_force
     force1 = np.asarray(f_cold(*args1))
     print("# batch-1 riccati_pallas compiled", flush=True)
+    dog.pet("batch-1 kernel")
     cold_p50, cold_p99 = _percentiles(f_cold, args1, 50)
+    dog.pet("batch-1 percentiles")
     solve1_nj = build_centroidal_solver(cfg, cold_scp)
     dev_b1_s = device_time_per_call(
         lambda *a: solve1_nj(*a).contact_force, args1)
@@ -214,6 +269,7 @@ def main():
     lat = np.asarray(lat)
     warm_p50 = round(float(np.percentile(lat, 50)), 2)
     warm_p99 = round(float(np.percentile(lat, 99)), 2)
+    dog.pet("warm ticks")
     assert np.isfinite(np.asarray(force_w)).all()
 
     # ---- reference-scale legged task (N=67, task.info) ---------------------
@@ -242,9 +298,11 @@ def main():
     f_leg = lambda *a: lsolve(*a).forces
     lf = np.asarray(f_leg(*largs))
     print("# legged eq-pallas compiled", flush=True)
+    dog.pet("legged kernel")
     leg_p50, leg_p99 = _percentiles(f_leg, largs, 30)
     assert np.isfinite(lf).all()
     dev_leg_s = device_time_per_call(lambda *a: lsolve_nj(*a).forces, largs)
+    dog.pet("legged device time")
 
     # ---- batched legged throughput (BASELINE config 4 at fleet scale) ------
     lbatch = 512
@@ -262,6 +320,7 @@ def main():
              jnp.asarray(np.tile(zp, (lbatch, 1, 1))),
              jnp.asarray(np.tile(zv, (lbatch, 1, 1))))
     lfb = np.asarray(lsolve_b(*bargs).forces)
+    dog.pet("batched legged")
     assert np.isfinite(lfb).all()
     # ---- on-TPU oracle: compiled eq-Riccati kernel vs the scan path --------
     # (batch element 0 of the batched scan solve is the same scenario.)
@@ -316,6 +375,7 @@ def main():
         "tpu_selftest": "pass",
         "device": str(jax.devices()[0]),
     }
+    dog.disarm()
     print(json.dumps(result))
 
 
