@@ -178,3 +178,30 @@ def test_sqp_vs_ddp_cross_check():
     # CoM height trajectories agree.
     np.testing.assert_allclose(np.asarray(sol_d.x_traj)[:, 8],
                                np.asarray(sol_s.x_traj)[:, 8], atol=5e-3)
+
+
+def test_planner_assembly_ddp_policy_has_value_function():
+    """LeggedPlannerAssembly in DDP mode (the LeggedRobotDdpMpcNode wiring):
+    task.info-configured DdpSettings, one planning tick produces a policy
+    with the value-function surface {P, p} filled like the SQP mode."""
+    from cheeta_mpc_tpu.gait.schedule import GaitSchedule, trot_template
+    from cheeta_mpc_tpu.mpc.legged_node import (LeggedPlannerAssembly,
+                                                PlannerSettings,
+                                                default_stance_state)
+    from cheeta_mpc_tpu.mpc.runtime import SystemObservation
+
+    cfg = LeggedMpcConfig.from_task_info(TASK_INFO, horizon=8,
+                                         dtype=jnp.float64)
+    gs = GaitSchedule.stance(trot_template(0.6), t0=0.0)
+    x0 = default_stance_state(cfg)
+    ddp = DdpSettings.from_task_info(TASK_INFO, iterations=3)
+    assembly = LeggedPlannerAssembly(
+        cfg, gs, x0, v_cmd=np.zeros(3),
+        settings=PlannerSettings(solver="ddp", ddp=ddp))
+    pol = assembly.solve_fn(SystemObservation(time=0.0, state=x0,
+                                              input=None, mode=0))
+    assert pol.P is not None and pol.p is not None
+    assert pol.P.shape == (cfg.horizon + 1, 24, 24)
+    assert np.isfinite(pol.P).all() and np.isfinite(pol.p).all()
+    assert np.isfinite(pol.u_traj).all()
+    assert "converged" in assembly.last_metrics
