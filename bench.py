@@ -153,14 +153,16 @@ def main():
     jax.devices()  # force backend init under the watchdog
     dog.pet("jax init")
 
+    # Persistent compile cache, configured BEFORE the first compile and with
+    # a zero threshold: every program incl. the trivial dispatch probe is
+    # disk-cached, so warm runs never need the remote-compile service at all
+    # (it has been observed wedged while executes still worked, and local
+    # compilation is unavailable — libtpu version mismatch).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     dispatch_floor_ms = _guard_against_slow_session()
     dog.pet("dispatch probe")
-
-    # Persistent compile cache: the slow-session re-execs and repeated
-    # driver runs then skip the multi-second XLA compiles (verified to work
-    # through the axon remote-compile tunnel).
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cheeta_mpc_tpu.examples import TEST_WEIGHTS, make_example_inputs
     from cheeta_mpc_tpu.mpc.centroidal_mpc import (CentroidalMpcConfig,
