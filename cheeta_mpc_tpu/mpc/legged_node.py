@@ -96,11 +96,16 @@ class LeggedPlannerAssembly:
             from cheeta_mpc_tpu.mpc.legged_ddp import build_legged_ddp_solver
             from cheeta_mpc_tpu.solvers.ddp import DdpSettings
             if settings.ddp is not None:
-                # Configured from the task.info ddp block: the equality
-                # penalty is the file's constraintPenaltyInitialValue.
+                # Configured from the task.info ddp block. The file's
+                # constraintPenaltyInitialValue (20.0) is meant as the START
+                # of an AL growth schedule the reference runs; this DDP uses
+                # a single fixed penalty, so floor it at 1e2 (the solver's
+                # effective default) like cli/legged_demo.py does — otherwise
+                # stance/swing equality enforcement weakens ~5x.
                 ddp = settings.ddp
                 self._solve = jax.jit(build_legged_ddp_solver(
-                    cfg, ddp, eq_penalty=ddp.constraint_penalty))
+                    cfg, ddp,
+                    eq_penalty=max(ddp.constraint_penalty, 1e2)))
             else:
                 self._solve = jax.jit(build_legged_ddp_solver(
                     cfg, DdpSettings(iterations=settings.ddp_iterations)))

@@ -341,6 +341,13 @@ class DummyLoopResult:
     states: np.ndarray
     inputs: np.ndarray
     solves: int
+    # Realtime mode: solver exceptions raised in the MPC worker thread. The
+    # reference treats a failed solve as fatal (NAN_SOL throw,
+    # MultipleShootingSolver.cpp:283-285); the realtime loop keeps ticking on
+    # the last good policy but records the failures so a run that never
+    # replanned cannot read as healthy. Lock-step mode propagates instead.
+    solve_errors: int = 0
+    first_error: Optional[str] = None
 
 
 def run_dummy_loop(interface: MpcMrtInterface,
@@ -403,13 +410,20 @@ def run_realtime_dummy_loop(interface: MpcMrtInterface,
     assert interface.update_policy()
 
     stop = threading.Event()
+    errors = {"count": 0, "first": None}
 
     def mpc_worker():
         while not stop.is_set():
             try:
                 interface.advance_mpc()
-            except RuntimeError:
-                pass
+            except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+                if errors["first"] is None:
+                    errors["first"] = f"{type(e).__name__}: {e}"
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "MPC worker solve failed (policy frozen at last "
+                        "good solution): %s", errors["first"])
+                errors["count"] += 1
 
     worker = threading.Thread(target=mpc_worker, daemon=True)
     worker.start()
@@ -431,4 +445,6 @@ def run_realtime_dummy_loop(interface: MpcMrtInterface,
         worker.join(timeout=5.0)
     return DummyLoopResult(times=np.asarray(times), states=np.stack(states),
                            inputs=np.stack(inputs),
-                           solves=interface.solve_count)
+                           solves=interface.solve_count,
+                           solve_errors=errors["count"],
+                           first_error=errors["first"])

@@ -56,6 +56,11 @@ def _load_run(source) -> Dict[str, np.ndarray]:
                                          for f in source.frames])
         return d
     data = dict(np.load(source, allow_pickle=False))
+    # legged_demo's *_traj.npz records n+1 times/states/feet but n inputs
+    # (run_dummy_loop returns one input per tick): trim every per-sample
+    # array to the common length so downstream indexing lines up.
+    n = min(len(v) for v in data.values())
+    data = {k: v[:n] for k, v in data.items()}
     if "contact_flags" not in data:
         data["contact_flags"] = (data["forces"][:, :, 2] > 1e-6).astype(float)
     return data

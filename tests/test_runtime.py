@@ -4,7 +4,8 @@ toy LQR plant (keeps the heavy centroidal solve out of this unit)."""
 import numpy as np
 
 from cheeta_mpc_tpu.mpc.runtime import (MpcMrtInterface, MrtBase, PolicyData,
-                                        SystemObservation, run_dummy_loop)
+                                        SystemObservation, run_dummy_loop,
+                                        run_realtime_dummy_loop)
 
 
 def _toy_policy(t0, x0, N=10, dt=0.1):
@@ -76,6 +77,43 @@ def test_lockstep_dummy_loop_regulates():
     # The closed loop regulates the state to near the origin.
     assert np.linalg.norm(res.states[-1]) < 0.05
     assert np.isfinite(res.inputs).all()
+
+
+def test_realtime_loop_happy_path_has_zero_solve_errors():
+    dt = 0.05
+    A = np.array([[1.0, dt], [0.0, 1.0]])
+    B = np.array([[0.0], [dt]])
+    iface = MpcMrtInterface(
+        lambda obs: _toy_policy(obs.time, obs.state, dt=dt))
+    res = run_realtime_dummy_loop(iface, lambda t, x, u: A @ x + B @ u,
+                                  x0=[1.0, 0.0], mrt_dt=dt, n_steps=40)
+    assert res.solve_errors == 0 and res.first_error is None
+    assert res.solves >= 1
+    assert np.isfinite(res.inputs).all()
+
+
+def test_realtime_loop_records_solver_failures():
+    """A solver that throws after the initial solve must not read as a
+    healthy run: the loop keeps ticking on the frozen policy but the result
+    records the failure count and message (reference parity: NAN_SOL is
+    fatal, MultipleShootingSolver.cpp:283-285)."""
+    dt = 0.05
+    A = np.array([[1.0, dt], [0.0, 1.0]])
+    B = np.array([[0.0], [dt]])
+    calls = {"n": 0}
+
+    def solve_fn(obs):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("synthetic NAN_SOL")
+        return _toy_policy(obs.time, obs.state, dt=dt)
+
+    iface = MpcMrtInterface(solve_fn)
+    res = run_realtime_dummy_loop(iface, lambda t, x, u: A @ x + B @ u,
+                                  x0=[1.0, 0.0], mrt_dt=dt, n_steps=20)
+    assert res.solve_errors > 0
+    assert "synthetic NAN_SOL" in res.first_error
+    assert res.solves == 1  # only the initial solve landed a policy
 
 
 def test_lockstep_is_deterministic():
