@@ -309,6 +309,30 @@ def main():
     dev_leg_s = device_time_per_call(lambda *a: lsolve_nj(*a).forces, largs)
     dog.pet("legged device time")
 
+    # ---- legged PYRAMID-cone mode: 16 eq + 20 ineq rows in ONE fused IPM
+    # kernel (round-5 extension; HPIPM's single native IPM handling both row
+    # types, HpipmInterface.cpp:223-264). Batch-1 real-time path + oracle.
+    lcfg_pyr = LeggedMpcConfig.from_task_info(
+        "/root/reference/ocs2_legged_robot/config/mpc/task.info",
+        cone_mode='pyramid', dtype=jnp.float32)
+    pyr_scp = ScpSettings(iterations=1, ipm=IpmSettings(iters=10),
+                          qp_backend='riccati_pallas')
+    psolve_nj = build_legged_solver(lcfg_pyr, pyr_scp)
+    psolve = jax.jit(psolve_nj)
+    pf = np.asarray(psolve(*largs).forces)
+    print("# legged pyramid ipm-pallas compiled", flush=True)
+    dog.pet("pyramid kernel")
+    assert np.isfinite(pf).all()
+    dev_pyr_s = device_time_per_call(lambda *a: psolve_nj(*a).forces, largs)
+    dog.pet("pyramid device time")
+    # Oracle: fused kernel vs the scan IPM on the same pyramid problem.
+    psolve_scan = jax.jit(build_legged_solver(
+        lcfg_pyr, ScpSettings(iterations=1, ipm=IpmSettings(iters=10))))
+    pf_s = np.asarray(psolve_scan(*largs).forces)
+    dog.pet("pyramid scan oracle")
+    perr = np.abs(pf - pf_s).max()
+    assert perr < 0.2, f"pyramid kernel vs scan force mismatch: {perr} N"
+
     # ---- batched legged throughput (BASELINE config 4 at fleet scale) ------
     lbatch = 512
     # Fleet config at matmul_precision='high': 0.06 N force delta vs the
@@ -373,6 +397,8 @@ def main():
         "legged_p50_ms": leg_p50,
         "legged_p99_ms": leg_p99,
         "legged_device_ms": round(dev_leg_s * 1e3, 3),
+        "legged_pyr_device_ms": round(dev_pyr_s * 1e3, 3),
+        "pyr_kernel_vs_scan_err_N": round(float(perr), 4),
         "legged_solves_per_s_chip_N67": round(1000.0 / leg_p50, 1),
         "legged_batch_solves_per_s_chip_N67": round(leg_batch_sps, 1),
         "legged_batch": lbatch,

@@ -19,9 +19,15 @@ that wins at batch 1 stays FLOP-competitive at large batch (the reference's
 HPIPM makes the same choice with ric_alg=0, HpipmInterfaceSettings.h:56;
 BLASFEO plays the role this kernel plays here, SURVEY.md L0).
 
-Scope: inequality-constrained OCP-QPs (``data.con`` set, ``data.eq`` None) in
-f32 — exactly the centroidal-MPC hot path. f64 problems and problems with
-stage equalities fall back to the scan-based solver (no silent downcast).
+Scope: inequality-constrained f32 OCP-QPs (``data.con`` set), with or
+without masked stage equalities (``data.eq``) — the equality rows are
+eliminated exactly inside the same backward recursion (the masked
+eq-Riccati elimination of ``ops/riccati.riccati_factorize_eq``, fused), so
+the legged pyramid-cone mode (stance/swing equalities + hard friction
+pyramids) gets the fused batch-1 path too, matching HPIPM's single native
+IPM handling both row types (HpipmInterface.cpp:223-264). f64 problems fall
+back to the scan-based solver (no silent downcast) with an explicit
+trace-time warning.
 
 Conventions follow ops/pallas_riccati.py: single grid point, vectors as
 (1, n) rows, ``fori_loop`` over stages and over IPM iterations, SPD inverses
@@ -42,18 +48,30 @@ from cheeta_mpc_tpu.core.types import OcpQpData, OcpQpSolution, RiccatiGains
 from cheeta_mpc_tpu.ops.pallas_riccati import spd_inverse_kernel
 
 
-def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
-                C_ref, D_ref, lg_ref, ug_ref, m_ref, dx0_ref,
-                # outputs
-                dx_ref, du_ref, sl_ref, su_ref, ll_ref, lu_ref,
-                K_ref, kv_ref, P_ref, p_ref, diag_ref,
-                # scratch
-                Gi_ref, H_ref, g_ref, rd_ref, rl_ref, ru_ref, ln_ref,
-                ddx_ref, ddu_ref, dg_ref, dsl_ref, dsu_ref, dll_ref, dlu_ref,
-                *, N, nx, nu, ng, iters, tau, mu0, s0_min, reg, w_max,
-                mu_tol):
+def _ipm_kernel(*refs, N, nx, nu, ng, nc, iters, tau, mu0, s0_min, reg, eps,
+                w_max, mu_tol):
+    if nc:
+        (A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
+         C_ref, D_ref, lg_ref, ug_ref, m_ref,
+         Ce_ref, De_ref, e_ref, me_ref, dx0_ref,
+         # outputs
+         dx_ref, du_ref, sl_ref, su_ref, ll_ref, lu_ref,
+         K_ref, kv_ref, P_ref, p_ref, diag_ref,
+         # scratch (Gi_ref holds the REDUCED inverse W when nc > 0)
+         Gi_ref, H_ref, g_ref, rd_ref, rl_ref, ru_ref, ln_ref,
+         ddx_ref, ddu_ref, dg_ref, dsl_ref, dsu_ref, dll_ref, dlu_ref,
+         re_ref, YLi_ref, Li_ref, LiD_ref) = refs
+    else:
+        (A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
+         C_ref, D_ref, lg_ref, ug_ref, m_ref, dx0_ref,
+         dx_ref, du_ref, sl_ref, su_ref, ll_ref, lu_ref,
+         K_ref, kv_ref, P_ref, p_ref, diag_ref,
+         Gi_ref, H_ref, g_ref, rd_ref, rl_ref, ru_ref, ln_ref,
+         ddx_ref, ddu_ref, dg_ref, dsl_ref, dsu_ref, dll_ref,
+         dlu_ref) = refs
     f32 = jnp.float32
     eye_u = jnp.eye(nu, dtype=f32)
+    eye_c = jnp.eye(nc, dtype=f32) if nc else None
     m = m_ref[...]  # (N+1, ng) activity mask
     lg = lg_ref[...]
     ug = ug_ref[...]
@@ -72,10 +90,9 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
         return ref[pl.ds(k, 1)]  # (1, n)
 
     def spd_inverse(M, n):
-        """Equilibrated Gauss-Jordan + one Newton refinement (shared with
-        the eq-Riccati kernel): the barrier-augmented G reaches condition
-        ~1/mu (w_max = 1e6 in f32); plain GJ loses enough accuracy there to
-        corrupt late-iteration dual steps."""
+        """Equilibrated Gauss-Jordan (shared with the eq-Riccati kernel,
+        which documents why no Newton refinement: it makes the f32 inverse
+        worse at the ~1/mu condition this barrier reaches)."""
         return spd_inverse_kernel(M, n,
                                   precision=jax.lax.Precision.HIGHEST)
 
@@ -89,8 +106,22 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
     dx_ref[...] = jnp.zeros((N + 1, nx), f32)
     du_ref[...] = jnp.zeros((N, nu), f32)
 
+    if nc:
+        # Least-squares equality-dual operator for the stationarity metric
+        # (ocpqp.solve_ocp_qp precomputes the same LiD once: constraint
+        # matrices do not change across IPM iterations).
+        def lid_body(k, _):
+            Dk = De_ref[k]  # (nc, nu)
+            mk = row(me_ref, k)  # (1, nc)
+            DDt = mm(Dk, Dk.T) + eye_c * (1.0 - mk)
+            LiD_ref[k] = mm(spd_inverse(0.5 * (DDt + DDt.T), nc), Dk)
+            return 0
+
+        jax.lax.fori_loop(0, N, lid_body, 0)
+
     # ---- input-space KKT stationarity at (state + a * delta) ---------------
-    # (ocpqp._stationarity_norm with nc = 0: adjoint recursion, max |r_u|.)
+    # (ocpqp._stationarity_norm: adjoint recursion with least-squares
+    # equality duals, max |r_u|.)
     def stat_at(a):
         ln_ref[...] = m * ((lu_ref[...] + a * dlu_ref[...])
                            - (ll_ref[...] + a * dll_ref[...]))
@@ -109,6 +140,10 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
             gr = (row(r_ref, k) + mm(uk, R_ref[k].T) + mm(xk, S_ref[k].T)
                   + mm(lnk, D_ref[k]))
             t_u = gr + mm(mu_next, B_ref[k])
+            if nc:
+                nuv = -mm(t_u, LiD_ref[k].T)  # (1, nc)
+                t_u = t_u + mm(nuv, De_ref[k])
+                qbar = qbar + mm(nuv, Ce_ref[k])
             smax = jnp.maximum(smax, jnp.max(jnp.abs(t_u)))
             return (qbar + mm(mu_next, A_ref[k]), smax)
 
@@ -124,7 +159,8 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
 
     # ---- per-iteration building blocks -------------------------------------
     def compute_residuals():
-        """g_ref <- C dx + D du ; rd_ref <- dynamics residual."""
+        """g_ref <- C dx + D du ; rd_ref <- dynamics residual ;
+        re_ref <- masked equality residual (shared by predictor+corrector)."""
 
         def body(k, _):
             xk = row(dx_ref, k)
@@ -132,6 +168,9 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
             g_ref[pl.ds(k, 1)] = mm(xk, C_ref[k].T) + mm(uk, D_ref[k].T)
             rd_ref[pl.ds(k, 1)] = (mm(xk, A_ref[k].T) + mm(uk, B_ref[k].T)
                                    + row(b_ref, k) - row(dx_ref, k + 1))
+            if nc:
+                re_ref[pl.ds(k, 1)] = row(me_ref, k) * (
+                    mm(xk, Ce_ref[k].T) + mm(uk, De_ref[k].T) + row(e_ref, k))
             return 0
 
         jax.lax.fori_loop(0, N, body, 0)
@@ -139,7 +178,9 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
 
     def factorize():
         """Backward Riccati with the barrier-augmented Hessian blocks
-        Qb = Q + C' diag(w) C (and Rb, Sb with D); stores K, Ginv, H, P."""
+        Qb = Q + C' diag(w) C (and Rb, Sb with D) and exact elimination of
+        the masked stage equalities (riccati_factorize_eq fused in); stores
+        K, W (in Gi_ref), YLi, Li, H, P."""
         w = m * jnp.minimum(ll_ref[...] / sl_ref[...]
                             + lu_ref[...] / su_ref[...], w_max)
         ln_ref[...] = w  # reuse as the w row store for the stage loop
@@ -165,11 +206,27 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
             G = Rb + mm(Bk.T, PB) + reg * eye_u
             Hk = Sb + mm(Bk.T, PA)
             Gi = spd_inverse(0.5 * (G + G.T), nu)
-            Kk = -mm(Gi, Hk)
-            Pk = Qb + mm(Ak.T, PA) + mm(Hk.T, Kk)
+            if nc:
+                Cek = Ce_ref[k]  # (nc, nx)
+                Dek = De_ref[k]  # (nc, nu)
+                mek = row(me_ref, k)  # (1, nc)
+                Y = mm(Gi, Dek.T)  # (nu, nc)
+                Lam = mm(Dek, Y) + eye_c * (eps * (1.0 - mek))
+                Li = spd_inverse(0.5 * (Lam + Lam.T), nc)
+                YLi = mm(Y, Li)
+                W = Gi - mm(YLi, Y.T)
+                Kk = -(mm(W, Hk) + mm(YLi, Cek))
+                Pk = (Qb + mm(Ak.T, PA) + mm(Hk.T, Kk)
+                      + mm(Cek.T, mm(Li, Cek - mm(Y.T, Hk))))
+                YLi_ref[k] = YLi
+                Li_ref[k] = Li
+                Gi_ref[k] = W
+            else:
+                Kk = -mm(Gi, Hk)
+                Pk = Qb + mm(Ak.T, PA) + mm(Hk.T, Kk)
+                Gi_ref[k] = Gi
             P_ref[k] = 0.5 * (Pk + Pk.T)
             K_ref[k] = Kk
-            Gi_ref[k] = Gi
             H_ref[k] = Hk
             return 0
 
@@ -177,8 +234,9 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
 
     def newton(rcl, rcu, r_x0_row):
         """One Newton direction against the stored factors
-        (ocpqp._solve_newton): backward vector pass, forward rollout, slack/
-        dual deltas. Writes ddx/ddu/dsl/dsu/dll/dlu (+ kv, p)."""
+        (ocpqp._solve_newton): backward vector pass (with equality RHS
+        h = -r_eq, riccati_vector_eq), forward rollout, slack/dual deltas.
+        Writes ddx/ddu/dsl/dsu/dll/dlu (+ kv, p)."""
         sl = sl_ref[...]
         su = su_ref[...]
         ll = ll_ref[...]
@@ -204,8 +262,17 @@ def _ipm_kernel(A_ref, B_ref, b_ref, Q_ref, q_ref, R_ref, r_ref, S_ref,
                     + mm(lnk, D_ref[k]))
             mvec = p_next + mm(row(rd_ref, k), P_ref[k + 1].T)
             rhs = rbar + mm(mvec, B_ref[k])
-            kvk = -mm(rhs, Gi_ref[k].T)
-            pk = qbar + mm(mvec, A_ref[k]) + mm(rhs, K_ref[k])
+            if nc:
+                h_row = -row(re_ref, k)  # (1, nc) — already masked
+                Wk = Gi_ref[k]
+                YLik = YLi_ref[k]
+                kvk = -(mm(rhs, Wk.T) - mm(h_row, YLik.T))
+                nu0 = -(mm(h_row, Li_ref[k].T) + mm(rhs, YLik))
+                pk = (qbar + mm(mvec, A_ref[k]) + mm(kvk, H_ref[k])
+                      + mm(nu0, Ce_ref[k]))
+            else:
+                kvk = -mm(rhs, Gi_ref[k].T)
+                pk = qbar + mm(mvec, A_ref[k]) + mm(rhs, K_ref[k])
             kv_ref[pl.ds(k, 1)] = kvk
             p_ref[pl.ds(k, 1)] = pk
             return pk
@@ -308,28 +375,37 @@ def pallas_solve_ocp_qp(data: OcpQpData, settings=None,
                         interpret: bool = False) -> OcpQpSolution:
     """Drop-in fused-kernel replacement for
     :func:`cheeta_mpc_tpu.ops.ocpqp.solve_ocp_qp` on inequality-constrained
-    f32 problems. Falls back to the scan solver for f64 problems, stage
-    equalities, or unconstrained problems (no silent downcast / silent
-    scope change)."""
+    f32 problems, with or without masked stage equalities. Falls back to the
+    scan solver — with an explicit trace-time warning — for f64 problems or
+    problems with no inequality rows (no silent downcast / silent scope
+    change)."""
     from cheeta_mpc_tpu.ops.ocpqp import IpmSettings, solve_ocp_qp
     if settings is None:
         settings = IpmSettings()
-    if (data.con is None or data.eq is not None
-            or data.dx0.dtype == jnp.float64):
+    if data.con is None or data.dx0.dtype == jnp.float64:
+        import warnings
+        warnings.warn(
+            "pallas_solve_ocp_qp: falling back to the scan solver "
+            f"(con={'set' if data.con is not None else 'None'}, "
+            f"dtype={data.dx0.dtype}) — the fused kernel covers "
+            "inequality-constrained f32 problems only", stacklevel=2)
         return solve_ocp_qp(data, settings)
 
     dyn, cost, con = data.dyn, data.cost, data.con
     N, nx, nu = dyn.horizon, dyn.nx, dyn.nu
     ng = con.ng
+    nc = 0 if data.eq is None else data.eq.nc
     f32 = jnp.float32
     # f32 clamps exactly as solve_ocp_qp applies them.
     mu_tol = settings.mu_tol if settings.mu_tol > 0 else 1e-4
     w_max = min(settings.w_max, 1e6)
 
     kern = functools.partial(
-        _ipm_kernel, N=N, nx=nx, nu=nu, ng=ng, iters=int(settings.iters),
+        _ipm_kernel, N=N, nx=nx, nu=nu, ng=ng, nc=nc,
+        iters=int(settings.iters),
         tau=float(settings.tau), mu0=float(settings.mu0),
         s0_min=float(settings.s0_min), reg=float(settings.reg),
+        eps=1.0,  # eq dual regularization, riccati_factorize_eq default
         w_max=float(w_max), mu_tol=float(mu_tol))
     out_shape = (
         jax.ShapeDtypeStruct((N + 1, nx), f32),  # dx
@@ -345,7 +421,7 @@ def pallas_solve_ocp_qp(data: OcpQpData, settings=None,
         jax.ShapeDtypeStruct((1, 2), f32),  # [mu, stat]
     )
     scratch = [
-        pltpu.VMEM((N, nu, nu), f32),  # Ginv
+        pltpu.VMEM((N, nu, nu), f32),  # Ginv / reduced inverse W
         pltpu.VMEM((N, nu, nx), f32),  # H
         pltpu.VMEM((N + 1, ng), f32),  # g
         pltpu.VMEM((N, nx), f32),  # r_dyn
@@ -362,7 +438,19 @@ def pallas_solve_ocp_qp(data: OcpQpData, settings=None,
     ]
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     args = (dyn.A, dyn.B, dyn.b, cost.Q, cost.q, cost.R, cost.r, cost.S,
-            con.C, con.D, con.lg, con.ug, con.mask, data.dx0[None])
+            con.C, con.D, con.lg, con.ug, con.mask)
+    if nc:
+        eq = data.eq
+        mask_e = eq.mask
+        args = args + (eq.C * mask_e[..., None], eq.D * mask_e[..., None],
+                       eq.e * mask_e, mask_e)
+        scratch += [
+            pltpu.VMEM((N, nc), f32),  # r_eq
+            pltpu.VMEM((N, nu, nc), f32),  # Y Lam^{-1}
+            pltpu.VMEM((N, nc, nc), f32),  # Lam^{-1}
+            pltpu.VMEM((N, nc, nu), f32),  # LiD (stationarity duals)
+        ]
+    args = args + (data.dx0[None],)
     args = tuple(jnp.asarray(a, f32) for a in args)
     (dx, du, s_l, s_u, lam_l, lam_u, K, kvec, P, p, diag) = pl.pallas_call(
         kern,

@@ -88,6 +88,14 @@ class ScpSettings(NamedTuple):
     # condensing mode analogue — kept for cross-checks and as the dense
     # oracle).
     qp_backend: str = 'riccati'
+    # Stage-equality handling: 'riccati' = masked eq-Riccati elimination
+    # (the framework's generalization — handles mode-dependent masks);
+    # 'projected' = null-space projection + change-of-input-variables (the
+    # reference's projectStateInputEqualityConstraints=true mode,
+    # MultipleShootingTranscription.cpp:67-82; requires statically-active
+    # full-row-rank equality rows). Both must agree — the dual-mode oracle
+    # of tests/test_circular_kinematics.py (testCircularKinematics.cpp:38,92).
+    eq_mode: str = 'riccati'
     # Filter-acceptance thresholds (reference defaults).
     g_max: float = 1e6
     g_min: float = 1e-6
@@ -193,6 +201,13 @@ def _solve_nonlinear_ocp(
         qp_solve = solve_ocp_qp
     else:
         raise ValueError(f"unknown qp_backend {settings.qp_backend!r}")
+    if settings.eq_mode == 'projected':
+        import functools
+
+        from cheeta_mpc_tpu.ops.projection import solve_ocp_qp_projected
+        qp_solve = functools.partial(solve_ocp_qp_projected, inner=qp_solve)
+    elif settings.eq_mode != 'riccati':
+        raise ValueError(f"unknown eq_mode {settings.eq_mode!r}")
 
     def iteration(x, u):
         data = linearize(x, u)
