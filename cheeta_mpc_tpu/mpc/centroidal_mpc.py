@@ -367,6 +367,62 @@ def build_centroidal_solver(cfg: CentroidalMpcConfig,
     return solve
 
 
+def build_centroidal_mpc_loop(cfg: CentroidalMpcConfig,
+                              scp: ScpSettings = ScpSettings(),
+                              n_ticks: int = 20):
+    """An n-tick receding-horizon MPC loop that runs ENTIRELY on device:
+    ``lax.scan`` over {solve (warm-started RTI) -> apply u0 -> plant step},
+    plant == model (the reference dummy-loop semantics,
+    MRT_ROS_Dummy_Loop.cpp:171-185).
+
+    Purpose: amortize the host<->device dispatch cost across many replans.
+    On a degraded transport (this environment's axon relay has shown
+    per-dispatch floors up to ~40 ms) a per-solve round trip caps the
+    wall-clock replanning rate below the reference's 50 Hz target no matter
+    how fast the solve is; one dispatch covering ``n_ticks`` replans removes
+    the relay from the control path. Returns
+    ``fn(state, des_state, des_inputs) -> (states, forces)`` with
+    ``states`` (n_ticks, nx_aug) and ``forces`` (n_ticks, num_legs, 3).
+
+    The desired trajectories are held (a hold/stand command); the contact
+    table is taken from ``des_inputs`` unchanged each tick, so use a
+    constant-contact scenario (e.g. stance) unless the table is
+    tick-invariant.
+    """
+    import numpy as np
+    params = CentroidalParams.create(cfg.mass, cfg.num_legs, cfg.dt,
+                                     np.asarray(cfg.mu))
+    params = jax.tree.map(lambda a: np.asarray(a, cfg.dtype), params)
+    solve = build_centroidal_solver(cfg, scp)
+    nl = cfg.num_legs
+
+    def loop(state, des_state, des_inputs):
+        refs = _unpack_reference_inputs(cfg, state, des_state, des_inputs)
+        sol0 = solve(state, des_state, des_inputs)
+
+        def tick(carry, _):
+            x_aug, x_w, u_w = carry
+            # Re-pack the physical state (augmented state's first
+            # 9 + 3*nl entries ARE the packed layout; f_prev is carried
+            # implicitly by the warm start).
+            st = x_aug[:9 + 3 * nl]
+            res = solve(st, des_state, des_inputs, warm=(x_w, u_w))
+            u0 = res.u_traj[0]
+            x_next = centroidal_step(params, res.x_traj[0], u0,
+                                     refs.enable[0])
+            x_w2 = jnp.concatenate([res.x_traj[1:], res.x_traj[-1:]])
+            u_w2 = jnp.concatenate([res.u_traj[1:], res.u_traj[-1:]])
+            _, u_f = unpack_input(params, u0)
+            f0 = refs.enable[0][:, None] * u_f
+            return (x_next, x_w2, u_w2), (x_next, f0)
+
+        init = (sol0.x_traj[0], sol0.x_traj, sol0.u_traj)
+        _, (xs, fs) = jax.lax.scan(tick, init, None, length=n_ticks)
+        return xs, fs
+
+    return loop
+
+
 class CentroidalMPC:
     """Object-style facade mirroring the reference class API
     (``CentroidalMPC.h:15-33``: ctor -> SetupMPC -> UpdateMPC)."""
