@@ -1,0 +1,716 @@
+"""Batched (fleet-scale) Riccati-IPM solver: one Pallas kernel per 128-problem
+VMEM tile, batch on the vector lanes.
+
+Why this exists (PERF.md roofline, round 4): the vmapped XLA scan solver is
+bound by *tile padding* on its stage-serial batched small ops — with batch
+leading, every (1024, 33, 57)-ish matmul operand pads its LAST TWO dims to
+(8, 128) tiles, inflating HBM traffic ~4.8x and pinning throughput at
+~4.3k solves/s/chip (0.33% MFU) against the padded-traffic HBM bound. This
+kernel is PERF.md lever 3 (VMEM-resident problem tiles) combined with lever
+2 (batch-minor layout): the scenario batch lives on the 128-wide lane axis,
+matrices sit on the sublane axis (33 pads to 40, a 1.2x cost instead of
+3.9x), the whole IPM working set of a 128-problem tile — iterate, slacks,
+duals, Riccati factors — stays VMEM-resident across ALL iterations, and the
+QP data streams from HBM per pass with double-buffered DMA for the hot
+[A|B] blocks. Compute becomes VPU multiply-accumulate (batched small
+matmuls with batch on lanes cannot use the MXU), whose f32 peak is far
+above the padded-HBM bound the scan path sits on.
+
+The algorithm is the exact fixed-iteration Mehrotra predictor-corrector of
+:func:`cheeta_mpc_tpu.ops.ocpqp.solve_ocp_qp` (same init, barrier algebra,
+fraction-to-boundary, convergence freeze, stationarity step guard) — the
+third executor of the same math after the scan path and the batch-1 fused
+kernel (ops/pallas_ipm_riccati.py); cross-executor oracles in
+tests/test_pallas_ipm_batch.py and bench.py keep all three in agreement.
+
+Design notes:
+- P is never stored per stage: the vector passes only need P_{k+1} @ rd_k,
+  which the factorization sweep folds into a per-stage vector ``Prd`` while
+  P rolls through a single (nx, nx, B) buffer.
+- The lambda-independent gradient parts gq = q + Q dx + S' du and
+  gr = r + R du + S dx are computed once per iteration in the factorization
+  sweep, so the Newton and guard sweeps only stream the [A|B] blocks.
+- K and G^{-1} are NOT VMEM-resident: they spill to an HBM workspace
+  during factorization and stream back per stage in the Newton sweeps
+  (~20 MB/iter/tile of round-trip against ~1 ms of compute — a ~7 MB VMEM
+  saving that keeps the tile under the 16 MB budget). A bf16-storage
+  variant was measured and rejected: at barrier conditioning ~1/mu the
+  rounded G^{-1} produces blow-up directions (NaN by iteration ~8).
+
+Scope (the centroidal fleet workload): inequality-constrained f32 problems
+with batch-shared constraint matrices C/D (the friction pyramid + footstep
+boxes are config constants — only the bounds vary per scenario). Stage
+equalities, f64, or per-problem C/D take the vmapped scan solver instead
+(see ``make_fleet_qp_solver``). Riccati gains / value function are NOT
+produced (the fleet path consumes trajectories only); returned gains are
+NaN so accidental consumption is loud rather than silently zero. Batch-1
+and policy paths keep the fused batch-1 kernel, which produces real gains.
+
+Reference role: BLASFEO keeping HPIPM's working set in registers across the
+recursion (SURVEY.md L0; HpipmInterfaceSettings.h:56) — here the "registers"
+are a 128-lane VMEM tile and the recursion is shared by 128 robots at once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cheeta_mpc_tpu.core.types import OcpQpData, OcpQpSolution, RiccatiGains
+
+LANE_B = 128  # problems per tile = TPU vector lane count
+_BIG = 3.0e38  # inf stand-in for masked minima
+
+
+# ---- lane-batched small linear algebra (batch = trailing axis) -------------
+# All inner loops are Python-unrolled over STATIC matrix dims (<= nx+nu), so
+# every slice index is static; only stage/tile indices are dynamic (on refs).
+
+def bmm_nn(X, Y):
+    """(p, q, B) @ (q, r, B) -> (p, r, B): sum of outer products over q.
+
+    Slice-only indexing (X[:, k:k+1, :], Y[k:k+1]): integer-plus-newaxis
+    subscripts on laned 3D values lower to an (unsupported) >2D gather in
+    Mosaic; explicit length-1 slices lower to plain strided slices."""
+    q = X.shape[1]
+    acc = X[:, 0:1, :] * Y[0:1]
+    for k in range(1, q):
+        acc = acc + X[:, k:k + 1, :] * Y[k:k + 1]
+    return acc
+
+
+def bmm_tn(X, Y):
+    """X' @ Y contracting the LEADING axis: (q, p, B), (q, r, B) ->
+    (p, r, B). One relayout (swapaxes) then the slice-form product."""
+    return bmm_nn(jnp.swapaxes(X, 0, 1), Y)
+
+
+def mv_nn(X, v):
+    """(p, q, B) x (q, B) -> (p, B)."""
+    return jnp.sum(X * v[None, :, :], axis=1)
+
+
+def mv_tn(X, v):
+    """(q, p, B)' x (q, B) -> (p, B)."""
+    return jnp.sum(X * v[:, None, :], axis=0)
+
+
+def outer_acc(Cs, w):
+    """C' diag(w) C for batch-shared C (g, n) and lane-batched w (g, B)
+    -> (n, n, B)."""
+    g = Cs.shape[0]
+    acc = (Cs[0][:, None] * Cs[0][None, :])[:, :, None] * w[0][None, None, :]
+    for r in range(1, g):
+        acc = acc + ((Cs[r][:, None] * Cs[r][None, :])[:, :, None]
+                     * w[r][None, None, :])
+    return acc
+
+
+def outer_acc2(Ca, Cb, w):
+    """Ca' diag(w) Cb for shared Ca (g, m), Cb (g, n), lane w (g, B)
+    -> (m, n, B)."""
+    g = Ca.shape[0]
+    acc = (Ca[0][:, None] * Cb[0][None, :])[:, :, None] * w[0][None, None, :]
+    for r in range(1, g):
+        acc = acc + ((Ca[r][:, None] * Cb[r][None, :])[:, :, None]
+                     * w[r][None, None, :])
+    return acc
+
+
+def shared_mv(Cs, x):
+    """(g, n) shared x (n, B) -> (g, B)."""
+    return jnp.sum(Cs[:, :, None] * x[None, :, :], axis=1)
+
+
+def shared_mv_t(Cs, lam):
+    """(g, n)' shared x (g, B) -> (n, B)."""
+    return jnp.sum(Cs[:, :, None] * lam[:, None, :], axis=0)
+
+
+def tr2(X):
+    """Transpose the first two axes of (p, q, B) via static sublane picks
+    (Mosaic-friendly alternative to a tiled-axis swapaxes)."""
+    return jnp.stack([X[:, i, :] for i in range(X.shape[1])], axis=0)
+
+
+def sym2(X):
+    """0.5 (X + X') on the leading two axes of (n, n, B)."""
+    return 0.5 * (X + tr2(X))
+
+
+def gj_inverse_b(M):
+    """Lane-batched equilibrated Gauss-Jordan SPD inverse: (n, n, B).
+
+    Same numerics as ops/pallas_riccati.spd_inverse_kernel (Jacobi
+    pre-equilibration, no Newton refinement — see that docstring), with the
+    pivot loop Python-unrolled (static indices everywhere)."""
+    n, _, B = M.shape
+    dt = M.dtype
+    d = jnp.stack([M[i, i, :] for i in range(n)])  # (n, B) diagonal
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    # Explicit reshapes, never newaxis subscripts: slice+None combos on
+    # laned values lower to unsupported gathers in Mosaic.
+    s_col = jnp.reshape(s, (n, 1, B))
+    s_row = jnp.reshape(s, (1, n, B))
+    Ms = s_col * M * s_row
+    # jnp.eye (iota-based, traced) rather than a numpy literal: non-scalar
+    # numpy constants become jaxpr consts, which pallas_call rejects.
+    eye3 = jnp.broadcast_to(jnp.reshape(jnp.eye(n, dtype=dt), (n, n, 1)),
+                            (n, n, B))
+    Ag = jnp.concatenate([Ms, eye3], axis=1)
+    one_hot = jnp.eye(n, dtype=dt)
+    for j in range(n):
+        pivot = Ag[j:j + 1, j:j + 1, :]  # (1, 1, B)
+        row_j = Ag[j:j + 1] / pivot  # (1, 2n, B)
+        col_j = Ag[:, j:j + 1, :]  # (n, 1, B)
+        # Eliminate column j everywhere; the update zeroes row j itself
+        # (col_j[j] = pivot), so add the scaled pivot row back with a
+        # one-hot mask (a .at[j].set would lower to an unsupported scatter).
+        Ag = Ag - col_j * row_j
+        Ag = Ag + jnp.reshape(one_hot[:, j:j + 1], (n, 1, 1)) * row_j
+    X = Ag[:, n:, :]
+    return s_col * X * s_row
+
+
+def _fleet_kernel(M_hbm, Q_hbm, S_hbm, R_hbm, vec_hbm,
+                  qN_ref, lg_ref, ug_ref, m_ref, dx0_ref, C_ref, D_ref,
+                  # outputs (K/G spills are HBM workspace, not consumed)
+                  dx_o, du_o, sl_o, su_o, ll_o, lu_o, diag_o,
+                  Kspill, Gspill,
+                  # scratch
+                  dx_ref, du_ref, sl_ref, su_ref, ll_ref, lu_ref,
+                  rl_ref, ru_ref, ln_ref, rc1_ref, rc2_ref,
+                  gq_ref, gr_ref, rd_ref, Prd_ref, kv_ref,
+                  ddx_ref, ddu_ref, dsl_ref, dsu_ref, dll_ref, dlu_ref,
+                  Pr_ref, Mb_ref, Qb_ref, Sb_ref, Rb_ref, vb_ref,
+                  Kb_ref, Gb_ref, sem,
+                  *, N, nx, nu, ng, iters, tau, mu0, s0_min, reg, w_max,
+                  mu_tol):
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    B = LANE_B
+    m = m_ref[0]  # (N+1, ng, B)
+    lg = lg_ref[0]
+    ug = ug_ref[0]
+    n_active = jnp.maximum(jnp.sum(m, axis=(0, 1)), 1.0)  # (B,)
+    eye_reg = reg * jnp.eye(nu, dtype=f32)[:, :, None]
+
+    def dma_M(k, slot):
+        return pltpu.make_async_copy(M_hbm.at[t, k], Mb_ref.at[slot],
+                                     sem.at[slot])
+
+    def copy_now(src_at, dst_ref):
+        cp = pltpu.make_async_copy(src_at, dst_ref, sem.at[2])
+        cp.start()
+        cp.wait()
+
+    def copy_out(src_ref, dst_at):
+        cp = pltpu.make_async_copy(src_ref, dst_at, sem.at[2])
+        cp.start()
+        cp.wait()
+
+    def sweep(reverse, body, carry):
+        """Double-buffered M stream over all N stages.
+        ``body(k, Mslice, carry) -> carry``."""
+        first = N - 1 if reverse else 0
+        dma_M(first, first % 2).start()
+
+        def step(i, c):
+            k = (N - 1 - i) if reverse else i
+            slot = jax.lax.rem(k, jnp.asarray(2, k.dtype))
+            dma_M(k, slot).wait()
+            nxt = k - 1 if reverse else k + 1
+            in_range = (nxt >= 0) & (nxt < N)
+
+            @pl.when(in_range)
+            def _():
+                dma_M(jnp.clip(nxt, 0, N - 1), 1 - slot).start()
+
+            return body(k, Mb_ref[slot], c)
+
+        return jax.lax.fori_loop(0, N, step, carry)
+
+    # ---- initialization (ocpqp.solve_ocp_qp init with zero iterate) --------
+    sl0 = jnp.where(m > 0, jnp.maximum(-lg, s0_min), 1.0)
+    su0 = jnp.where(m > 0, jnp.maximum(ug, s0_min), 1.0)
+    sl_ref[...] = sl0
+    su_ref[...] = su0
+    ll_ref[...] = jnp.where(m > 0, mu0 / sl0, 0.0)
+    lu_ref[...] = jnp.where(m > 0, mu0 / su0, 0.0)
+    dx_ref[...] = jnp.zeros((N + 1, nx, B), f32)
+    du_ref[...] = jnp.zeros((N, nu, B), f32)
+    ddx_ref[...] = jnp.zeros((N + 1, nx, B), f32)
+    ddu_ref[...] = jnp.zeros((N, nu, B), f32)
+    dll_ref[...] = jnp.zeros((N + 1, ng, B), f32)
+    dlu_ref[...] = jnp.zeros((N + 1, ng, B), f32)
+
+    # ---- stationarity sweep (ocpqp._stationarity_norm, nc = 0) -------------
+    # Evaluates the KKT input-space stationarity at (iterate + a * delta);
+    # streams Q/S/R/vec (the stepped point's gradient needs them) plus M.
+    def stat_at(a):
+        ln_ref[...] = m * ((lu_ref[...] + a * dlu_ref[...])
+                           - (ll_ref[...] + a * dll_ref[...]))
+        copy_now(Q_hbm.at[t, N], Qb_ref)
+        xN = dx_ref[N] + a * ddx_ref[N]
+        mu0_vec = (qN_ref[0] + mv_nn(Qb_ref[...], xN)
+                   + shared_mv_t(C_ref[N], ln_ref[N]))
+
+        def body(k, Mk, carry):
+            mu_next, smax = carry
+            copy_now(Q_hbm.at[t, k], Qb_ref)
+            copy_now(S_hbm.at[t, k], Sb_ref)
+            copy_now(R_hbm.at[t, k], Rb_ref)
+            copy_now(vec_hbm.at[t, k], vb_ref)
+            A = Mk[:, :nx, :]
+            Bm = Mk[:, nx:, :]
+            vb = vb_ref[...]
+            qv = vb[nx:2 * nx]
+            rv = vb[2 * nx:]
+            xk = dx_ref[k] + a * ddx_ref[k]
+            uk = du_ref[k] + a * ddu_ref[k]
+            lnk = ln_ref[k]
+            qbar = (qv + mv_nn(Qb_ref[...], xk) + mv_tn(Sb_ref[...], uk)
+                    + shared_mv_t(C_ref[k], lnk))
+            gr = (rv + mv_nn(Rb_ref[...], uk) + mv_nn(Sb_ref[...], xk)
+                  + shared_mv_t(D_ref[k], lnk))
+            t_u = gr + mv_tn(Bm, mu_next)
+            smax = jnp.maximum(smax, jnp.max(jnp.abs(t_u), axis=0))
+            return (qbar + mv_tn(A, mu_next), smax)
+
+        _, smax = sweep(True, body, (mu0_vec, jnp.zeros((B,), f32)))
+        return smax  # (B,)
+
+    stat0 = stat_at(jnp.zeros((B,), f32))
+
+    # ---- combined residual + gradient + factorization sweep ----------------
+    def fact_sweep():
+        wN = m[N] * jnp.minimum(ll_ref[N] / sl_ref[N]
+                                + lu_ref[N] / su_ref[N], w_max)
+        copy_now(Q_hbm.at[t, N], Qb_ref)
+        QN = Qb_ref[...]
+        gN = shared_mv(C_ref[N], dx_ref[N])
+        rl_ref[N] = gN - sl_ref[N] - lg[N]
+        ru_ref[N] = gN + su_ref[N] - ug[N]
+        gq_ref[N] = qN_ref[0] + mv_nn(QN, dx_ref[N])
+        Pr_ref[...] = sym2(QN) + outer_acc(C_ref[N], wN)
+
+        def body(k, Mk, c):
+            A = Mk[:, :nx, :]
+            Bm = Mk[:, nx:, :]
+            copy_now(Q_hbm.at[t, k], Qb_ref)
+            copy_now(S_hbm.at[t, k], Sb_ref)
+            copy_now(R_hbm.at[t, k], Rb_ref)
+            copy_now(vec_hbm.at[t, k], vb_ref)
+            vb = vb_ref[...]
+            bv = vb[:nx]
+            qv = vb[nx:2 * nx]
+            rv = vb[2 * nx:]
+            xk = dx_ref[k]
+            uk = du_ref[k]
+            # Residuals.
+            gk = shared_mv(C_ref[k], xk) + shared_mv(D_ref[k], uk)
+            # Per-stage rows via ref indexing (dynamic_slice on VALUES is
+            # not lowerable in Mosaic; dynamic ref indexing on untiled
+            # leading dims is).
+            rl_ref[k] = gk - sl_ref[k] - lg_ref[0, k]
+            ru_ref[k] = gk + su_ref[k] - ug_ref[0, k]
+            rdk = mv_nn(A, xk) + mv_nn(Bm, uk) + bv - dx_ref[k + 1]
+            rd_ref[k] = rdk
+            # Pure (lambda-independent) gradient parts.
+            gq_ref[k] = qv + mv_nn(Qb_ref[...], xk) + mv_tn(Sb_ref[...], uk)
+            gr_ref[k] = rv + mv_nn(Rb_ref[...], uk) + mv_nn(Sb_ref[...], xk)
+            # Barrier-augmented Riccati step.
+            wk = m_ref[0, k] * jnp.minimum(ll_ref[k] / sl_ref[k]
+                                    + lu_ref[k] / su_ref[k], w_max)
+            Qb = Qb_ref[...] + outer_acc(C_ref[k], wk)
+            Rb = Rb_ref[...] + outer_acc(D_ref[k], wk)
+            Sb = Sb_ref[...] + outer_acc2(D_ref[k], C_ref[k], wk)
+            P_next = Pr_ref[...]
+            Prd_ref[k] = mv_nn(P_next, rdk)
+            PM = bmm_nn(P_next, Mk)  # (nx, nx+nu, B)
+            PA = PM[:, :nx, :]
+            PB = PM[:, nx:, :]
+            G = Rb + bmm_tn(Bm, PB) + eye_reg
+            Hk = Sb + bmm_tn(Bm, PA)
+            Gi = gj_inverse_b(sym2(G))
+            Kk = -bmm_nn(Gi, Hk)  # (nu, nx, B)
+            Pk = Qb + bmm_tn(A, PA) + bmm_tn(Hk, Kk)
+            Pr_ref[...] = sym2(Pk)
+            # Spill K / G^{-1} to HBM (~7 MB of VMEM they would otherwise
+            # pin); the Newton sweeps stream them back per stage. The
+            # round-trip is ~20 MB/iter/tile against ~1 ms of compute.
+            Kb_ref[...] = Kk
+            Gb_ref[...] = Gi
+            copy_out(Kb_ref, Kspill.at[t, k])
+            copy_out(Gb_ref, Gspill.at[t, k])
+            return c
+
+        sweep(True, body, 0)
+
+    # ---- Newton vector + forward passes against stored factors -------------
+    def newton():
+        """RHS in rc1/rc2. Writes ddx/ddu/dsl/dsu/dll/dlu (and kv)."""
+        sl = sl_ref[...]
+        su = su_ref[...]
+        ll = ll_ref[...]
+        lu = lu_ref[...]
+        rl = rl_ref[...]
+        ru = ru_ref[...]
+        rcl = rc1_ref[...]
+        rcu = rc2_ref[...]
+        beta = m * ((ll / sl) * rl + (lu / su) * ru + rcl / sl - rcu / su)
+        ln_ref[...] = m * (lu - ll + beta)
+
+        qbarN = gq_ref[N] + shared_mv_t(C_ref[N], ln_ref[N])
+
+        def bwd(k, Mk, p_next):
+            A = Mk[:, :nx, :]
+            Bm = Mk[:, nx:, :]
+            qbar = gq_ref[k] + shared_mv_t(C_ref[k], ln_ref[k])
+            rbar = gr_ref[k] + shared_mv_t(D_ref[k], ln_ref[k])
+            mv = p_next + Prd_ref[k]
+            rhs = rbar + mv_tn(Bm, mv)
+            copy_now(Kspill.at[t, k], Kb_ref)
+            copy_now(Gspill.at[t, k], Gb_ref)
+            kvk = -mv_nn(Gb_ref[...], rhs)
+            pk = qbar + mv_tn(A, mv) + mv_tn(Kb_ref[...], rhs)
+            kv_ref[k] = kvk
+            return pk
+
+        sweep(True, bwd, qbarN)
+
+        ddx_ref[0] = dx0_ref[0] - dx_ref[0]
+
+        def fwd(k, Mk, c):
+            A = Mk[:, :nx, :]
+            Bm = Mk[:, nx:, :]
+            xk = ddx_ref[k]
+            copy_now(Kspill.at[t, k], Kb_ref)
+            uk = mv_nn(Kb_ref[...], xk) + kv_ref[k]
+            ddu_ref[k] = uk
+            ddx_ref[k + 1] = mv_nn(A, xk) + mv_nn(Bm, uk) + rd_ref[k]
+            dgk = shared_mv(C_ref[k], xk) + shared_mv(D_ref[k], uk)
+            mk = m_ref[0, k]
+            dsl_ref[k] = mk * (dgk + rl_ref[k])
+            dsu_ref[k] = mk * (-dgk - ru_ref[k])
+            return c
+
+        sweep(False, fwd, 0)
+        dgN = shared_mv(C_ref[N], ddx_ref[N])
+        dsl_ref[N] = m[N] * (dgN + rl_ref[N])
+        dsu_ref[N] = m[N] * (-dgN - ru_ref[N])
+        dll_ref[...] = (-m * (rc1_ref[...] + ll_ref[...] * dsl_ref[...])
+                        / sl_ref[...])
+        dlu_ref[...] = (-m * (rc2_ref[...] + lu_ref[...] * dsu_ref[...])
+                        / su_ref[...])
+
+    def max_step(v, dv):
+        ratio = jnp.where((dv < 0) & (m > 0),
+                          -tau * v / jnp.minimum(dv, -1e-30), _BIG)
+        return jnp.minimum(1.0, jnp.min(ratio, axis=(0, 1)))  # (B,)
+
+    # ---- the Mehrotra loop -------------------------------------------------
+    def ipm_iter(it, carry):
+        stat_old, _ = carry
+        fact_sweep()
+        sl = sl_ref[...]
+        su = su_ref[...]
+        ll = ll_ref[...]
+        lu = lu_ref[...]
+        mu = jnp.sum(m * (sl * ll + su * lu), axis=(0, 1)) / (2.0 * n_active)
+
+        # Predictor (affine direction, sigma = 0).
+        rc1_ref[...] = m * (sl * ll)
+        rc2_ref[...] = m * (su * lu)
+        newton()
+        dsl = dsl_ref[...]
+        dsu = dsu_ref[...]
+        dll = dll_ref[...]
+        dlu = dlu_ref[...]
+        a_aff = jnp.minimum(jnp.minimum(max_step(sl, dsl), max_step(su, dsu)),
+                            jnp.minimum(max_step(ll, dll), max_step(lu, dlu)))
+        mu_aff = (jnp.sum(m * ((sl + a_aff * dsl) * (ll + a_aff * dll)
+                               + (su + a_aff * dsu) * (lu + a_aff * dlu)),
+                          axis=(0, 1)) / (2.0 * n_active))
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # Corrector (reuses the factorization; only the vector pass reruns).
+        sg = jnp.reshape(sigma, (1, 1) + sigma.shape[-1:])
+        mu3 = jnp.reshape(mu, (1, 1) + mu.shape[-1:])
+        rc1_ref[...] = m * (sl * ll + dsl * dll - sg * mu3)
+        rc2_ref[...] = m * (su * lu + dsu * dlu - sg * mu3)
+        newton()
+        dsl = dsl_ref[...]
+        dsu = dsu_ref[...]
+        dll = dll_ref[...]
+        dlu = dlu_ref[...]
+        a = jnp.minimum(jnp.minimum(max_step(sl, dsl), max_step(su, dsu)),
+                        jnp.minimum(max_step(ll, dll), max_step(lu, dlu)))
+        # Convergence freeze + stationarity step guard (ocpqp parity).
+        a = a * jnp.where((mu > mu_tol) | (stat_old > 1e3 * mu_tol), 1.0, 0.0)
+        stat_new = stat_at(a)
+        ok = stat_new <= 10.0 * (stat_old + mu)
+        a = a * jnp.where(ok, 1.0, 0.0)
+
+        dx_ref[...] = dx_ref[...] + a * ddx_ref[...]
+        du_ref[...] = du_ref[...] + a * ddu_ref[...]
+        sl_ref[...] = jnp.where(m > 0, sl + a * dsl, 1.0)
+        su_ref[...] = jnp.where(m > 0, su + a * dsu, 1.0)
+        ll_ref[...] = jnp.where(m > 0, ll + a * dll, 0.0)
+        lu_ref[...] = jnp.where(m > 0, lu + a * dlu, 0.0)
+        return (jnp.where(ok, stat_new, stat_old), mu)
+
+    stat_f, mu_f = jax.lax.fori_loop(
+        0, iters, ipm_iter,
+        (stat0, jnp.full((LANE_B,), _BIG, f32)))
+
+    dx_o[0] = dx_ref[...]
+    du_o[0] = du_ref[...]
+    sl_o[0] = sl_ref[...]
+    su_o[0] = su_ref[...]
+    ll_o[0] = ll_ref[...]
+    lu_o[0] = lu_ref[...]
+    diag_o[0] = jnp.stack([mu_f, stat_f])
+
+
+def _tile(x, T):
+    """(batch, ...) -> (T, ..., B): split the batch into lane-tiles."""
+    x = jnp.reshape(x, (T, LANE_B) + x.shape[1:])
+    return jnp.moveaxis(x, 1, -1)
+
+
+def _untile(x):
+    """(T, ..., B) -> (batch, ...)."""
+    x = jnp.moveaxis(x, -1, 1)
+    return jnp.reshape(x, (x.shape[0] * LANE_B,) + x.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "interpret"))
+def solve_ocp_qp_fleet(data: OcpQpData, settings=None,
+                       interpret: bool = False) -> OcpQpSolution:
+    """Batched QP solve on BATCH-LEADING data (every leaf of ``data`` except
+    ``con.C``/``con.D`` carries a leading batch axis; C/D are batch-shared).
+    Batch must be a multiple of ``LANE_B`` (pad upstream). See the module
+    docstring for scope; gains in the result are NaN by design."""
+    from cheeta_mpc_tpu.ops.ocpqp import IpmSettings
+    if settings is None:
+        settings = IpmSettings()
+    dyn, cost, con = data.dyn, data.cost, data.con
+    batch = data.dx0.shape[0]
+    assert batch % LANE_B == 0, f"batch {batch} not a multiple of {LANE_B}"
+    T = batch // LANE_B
+    N = dyn.A.shape[1]
+    nx = dyn.A.shape[-1]
+    nu = dyn.B.shape[-1]
+    ng = con.C.shape[-2]
+    f32 = jnp.float32
+    mu_tol = settings.mu_tol if settings.mu_tol > 0 else 1e-4
+    w_max = min(settings.w_max, 1e6)
+
+    M = _tile(jnp.concatenate([dyn.A, dyn.B], axis=-1).astype(f32), T)
+    Q = _tile(cost.Q.astype(f32), T)
+    S = _tile(cost.S.astype(f32), T)
+    R = _tile(cost.R.astype(f32), T)
+    vec = _tile(jnp.concatenate(
+        [dyn.b, cost.q[:, :-1], cost.r], axis=-1).astype(f32), T)
+    qN = _tile(cost.q[:, -1].astype(f32), T)
+    lg = _tile(con.lg.astype(f32), T)
+    ug = _tile(con.ug.astype(f32), T)
+    msk = _tile(con.mask.astype(f32), T)
+    dx0 = _tile(data.dx0.astype(f32), T)
+    Cs = jnp.asarray(con.C, f32)  # (N+1, ng, nx) shared
+    Ds = jnp.asarray(con.D, f32)
+
+    kern = functools.partial(
+        _fleet_kernel, N=N, nx=nx, nu=nu, ng=ng, iters=int(settings.iters),
+        tau=float(settings.tau), mu0=float(settings.mu0),
+        s0_min=float(settings.s0_min), reg=float(settings.reg),
+        w_max=float(w_max), mu_tol=float(mu_tol))
+
+    B = LANE_B
+    nv = 2 * nx + nu
+
+    def blk(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda t: (t,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def shared_blk(shape):
+        return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [any_spec] * 5 + [
+        blk((nx, B)), blk((N + 1, ng, B)), blk((N + 1, ng, B)),
+        blk((N + 1, ng, B)), blk((nx, B)),
+        shared_blk((N + 1, ng, nx)), shared_blk((N + 1, ng, nu)),
+    ]
+    out_specs = (
+        blk((N + 1, nx, B)), blk((N, nu, B)),
+        blk((N + 1, ng, B)), blk((N + 1, ng, B)),
+        blk((N + 1, ng, B)), blk((N + 1, ng, B)),
+        blk((2, B)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((T, N + 1, nx, B), f32),  # dx
+        jax.ShapeDtypeStruct((T, N, nu, B), f32),  # du
+        jax.ShapeDtypeStruct((T, N + 1, ng, B), f32),  # s_l
+        jax.ShapeDtypeStruct((T, N + 1, ng, B), f32),  # s_u
+        jax.ShapeDtypeStruct((T, N + 1, ng, B), f32),  # lam_l
+        jax.ShapeDtypeStruct((T, N + 1, ng, B), f32),  # lam_u
+        jax.ShapeDtypeStruct((T, 2, B), f32),  # [mu, stat]
+        jax.ShapeDtypeStruct((T, N, nu, nx, B), f32),  # K spill (workspace)
+        jax.ShapeDtypeStruct((T, N, nu, nu, B), f32),  # Gi spill (workspace)
+    )
+    scratch = [
+        pltpu.VMEM((N + 1, nx, B), f32),  # dx
+        pltpu.VMEM((N, nu, B), f32),  # du
+        pltpu.VMEM((N + 1, ng, B), f32),  # s_l
+        pltpu.VMEM((N + 1, ng, B), f32),  # s_u
+        pltpu.VMEM((N + 1, ng, B), f32),  # lam_l
+        pltpu.VMEM((N + 1, ng, B), f32),  # lam_u
+        pltpu.VMEM((N + 1, ng, B), f32),  # r_l
+        pltpu.VMEM((N + 1, ng, B), f32),  # r_u
+        pltpu.VMEM((N + 1, ng, B), f32),  # lam_net / w rows
+        pltpu.VMEM((N + 1, ng, B), f32),  # rc1
+        pltpu.VMEM((N + 1, ng, B), f32),  # rc2
+        pltpu.VMEM((N + 1, nx, B), f32),  # gq
+        pltpu.VMEM((N, nu, B), f32),  # gr
+        pltpu.VMEM((N, nx, B), f32),  # rd
+        pltpu.VMEM((N, nx, B), f32),  # Prd
+        pltpu.VMEM((N, nu, B), f32),  # kv
+        pltpu.VMEM((N + 1, nx, B), f32),  # ddx
+        pltpu.VMEM((N, nu, B), f32),  # ddu
+        pltpu.VMEM((N + 1, ng, B), f32),  # ds_l
+        pltpu.VMEM((N + 1, ng, B), f32),  # ds_u
+        pltpu.VMEM((N + 1, ng, B), f32),  # dlam_l
+        pltpu.VMEM((N + 1, ng, B), f32),  # dlam_u
+        pltpu.VMEM((nx, nx, B), f32),  # P roll
+        pltpu.VMEM((2, nx, nx + nu, B), f32),  # M double buffer
+        pltpu.VMEM((nx, nx, B), f32),  # Q stage buffer
+        pltpu.VMEM((nu, nx, B), f32),  # S stage buffer
+        pltpu.VMEM((nu, nu, B), f32),  # R stage buffer
+        pltpu.VMEM((nv, B), f32),  # vec stage buffer
+        pltpu.VMEM((nu, nx, B), f32),  # K stage buffer
+        pltpu.VMEM((nu, nu, B), f32),  # Ginv stage buffer
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    (dx_t, du_t, sl_t, su_t, ll_t, lu_t, diag_t, _, _) = pl.pallas_call(
+        kern,
+        grid=(T,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        # The declared buffers are ~13 MB but Mosaic's stack for the
+        # unrolled per-stage chains pushes peak scoped VMEM to ~30 MB —
+        # above the compiler's conservative 16 MB default, well inside the
+        # chip's physical VMEM. Raise the scoped limit accordingly.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(M, Q, S, R, vec, qN, lg, ug, msk, dx0, Cs, Ds)
+
+    dx = _untile(dx_t)
+    du = _untile(du_t)
+    s_l = _untile(sl_t)
+    s_u = _untile(su_t)
+    lam_l = _untile(ll_t)
+    lam_u = _untile(lu_t)
+    diag = _untile(diag_t)  # (batch, 2)
+
+    # Cheap per-problem diagnostics (all elementwise/batched — no scan
+    # chains; stat comes from the kernel's own final guard evaluation).
+    from cheeta_mpc_tpu.ops.riccati import bmv
+    mcast = con.mask.astype(f32)
+    du_pad = jnp.concatenate([du, jnp.zeros_like(du[:, :1])], axis=1)
+    g = (jnp.einsum('ngx,bngx->bng', Cs, dx[:, :, None, :]
+                    * jnp.ones((1, 1, 1, 1), f32))
+         if False else
+         jnp.einsum('ngi,bni->bng', Cs, dx)
+         + jnp.einsum('ngi,bni->bng', Ds, du_pad))
+    viol = jnp.maximum(con.lg - g, g - con.ug)
+    ineq_res = jnp.max(jnp.where(mcast > 0, viol, 0.0), axis=(1, 2))
+    r_dyn = (bmv(dyn.A, dx[:, :-1]) + bmv(dyn.B, du) + dyn.b - dx[:, 1:])
+    eq_res = jnp.max(jnp.abs(r_dyn), axis=(1, 2))
+    nanK = jnp.full((batch, N, nu, nx), np.nan, f32)
+    nank = jnp.full((batch, N, nu), np.nan, f32)
+    nanP = jnp.full((batch, N + 1, nx, nx), np.nan, f32)
+    nanp = jnp.full((batch, N + 1, nx), np.nan, f32)
+    return OcpQpSolution(
+        dx=dx, du=du,
+        gains=RiccatiGains(K=nanK, k=nank, P=nanP, p=nanp),
+        lam_l=lam_l, lam_u=lam_u, s_l=s_l, s_u=s_u,
+        iterations=jnp.full((batch,), settings.iters, jnp.int32),
+        mu=diag[:, 0], stat_res=diag[:, 1], ineq_res=ineq_res,
+        eq_res=eq_res)
+
+
+def make_fleet_qp_solver(settings, interpret: bool = False):
+    """A QP solver that is the fused batch-1 kernel when called directly and
+    the lane-batched fleet kernel under ``jax.vmap`` — one ``qp_backend``
+    covering both the real-time and the fleet path.
+
+    The vmap rule falls back to a plain ``jax.vmap`` of the scan solver when
+    the workload is outside the fleet kernel's scope: per-problem C/D, stage
+    equalities, f64, no inequalities, or a batch not divisible by LANE_B.
+    """
+    from jax.custom_batching import custom_vmap
+
+    from cheeta_mpc_tpu.ops.ocpqp import solve_ocp_qp
+    from cheeta_mpc_tpu.ops.pallas_ipm_riccati import pallas_solve_ocp_qp
+
+    @custom_vmap
+    def qp_solve(data):
+        return pallas_solve_ocp_qp(data, settings, interpret=interpret)
+
+    @qp_solve.def_vmap
+    def _rule(axis_size, in_batched, data):
+        # custom_vmap hands in_batched as a sequence aligned with the args.
+        db = in_batched[0] if isinstance(in_batched, (list, tuple)) \
+            else in_batched
+        shared_cd = (data.con is not None
+                     and not db.con.C and not db.con.D)
+        in_scope = (data.con is not None and data.eq is None
+                    and data.dx0.dtype != jnp.float64
+                    and shared_cd and axis_size % LANE_B == 0)
+
+        def bcast(x, b):
+            if x is None:
+                return None
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x)[None], (axis_size,) + jnp.shape(x))
+
+        if in_scope:
+            dyn = data.dyn.replace(A=bcast(data.dyn.A, db.dyn.A),
+                                   B=bcast(data.dyn.B, db.dyn.B),
+                                   b=bcast(data.dyn.b, db.dyn.b))
+            cost = data.cost.replace(
+                Q=bcast(data.cost.Q, db.cost.Q),
+                q=bcast(data.cost.q, db.cost.q),
+                R=bcast(data.cost.R, db.cost.R),
+                r=bcast(data.cost.r, db.cost.r),
+                S=bcast(data.cost.S, db.cost.S))
+            con = data.con.replace(
+                lg=bcast(data.con.lg, db.con.lg),
+                ug=bcast(data.con.ug, db.con.ug),
+                mask=bcast(data.con.mask, db.con.mask))
+            bdata = data.replace(dyn=dyn, cost=cost, con=con,
+                                 dx0=bcast(data.dx0, db.dx0))
+            out = solve_ocp_qp_fleet(bdata, settings, interpret=interpret)
+        else:
+            full = jax.tree.map(
+                lambda x, b: bcast(x, b), data, db,
+                is_leaf=lambda x: x is None)
+            out = jax.vmap(lambda d: solve_ocp_qp(d, settings))(full)
+        out_batched = jax.tree.map(lambda _: True, out)
+        return out, out_batched
+
+    return qp_solve

@@ -41,27 +41,26 @@ from cheeta_mpc_tpu.core.types import OcpQpData, OcpQpSolution, RiccatiGains
 
 
 def _gj_inverse(M):
-    """Gauss-Jordan inverse of an SPD (n, n) matrix with masked pivoting
-    (in-kernel friendly: no dynamic slicing, pure masked VPU ops)."""
+    """Gauss-Jordan inverse of an SPD (n, n) matrix, Python-unrolled with
+    static length-1 slices.
+
+    Numerically identical to the earlier masked-iota formulation (same
+    elimination arithmetic), but each pivot step is 4 vector ops instead of
+    ~10 (no iota-mask selections, no reductions, no dynamic loop) — the
+    per-stage SPD inverses are the longest sequential chains in the fused
+    kernels, so this shortens batch-1 latency directly."""
     n = M.shape[0]
     dt = M.dtype
-    A = jnp.concatenate([M, jnp.eye(n, dtype=dt)], axis=1)  # (n, 2n)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 1)
-
-    def body(j, A):
-        row_mask = (rows == j).astype(dt)  # selects row j
-        col_mask = (cols == j).astype(dt)  # selects column j
-        pivot = jnp.sum(A * row_mask * col_mask)
-        row_j = jnp.sum(A * row_mask, axis=0, keepdims=True) / pivot
-        col_j = jnp.sum(A * col_mask, axis=1, keepdims=True)  # (n, 1)
-        # Eliminate column j from every row; the elimination zeroes row j
-        # itself (col_j[j] = pivot), so add the scaled pivot row back.
+    eye = jnp.eye(n, dtype=dt)
+    A = jnp.concatenate([M, eye], axis=1)  # (n, 2n)
+    for j in range(n):
+        pivot = A[j:j + 1, j:j + 1]  # (1, 1)
+        row_j = A[j:j + 1] / pivot  # (1, 2n)
+        col_j = A[:, j:j + 1]  # (n, 1)
+        # Eliminate column j from every row; the update zeroes row j itself
+        # (col_j[j] = pivot), so add the scaled pivot row back.
         A = A - col_j * row_j
-        A = A + row_mask * row_j
-        return A
-
-    A = jax.lax.fori_loop(0, n, body, A)
+        A = A + eye[:, j:j + 1] * row_j
     return A[:, n:]
 
 

@@ -191,12 +191,15 @@ def _solve_nonlinear_ocp(
         from cheeta_mpc_tpu.ops.condensed import solve_ocp_qp_condensed
         qp_solve = solve_ocp_qp_condensed
     elif settings.qp_backend == 'riccati_pallas':
-        import functools
-
-        from cheeta_mpc_tpu.ops.pallas_ipm_riccati import pallas_solve_ocp_qp
-        qp_solve = functools.partial(
-            pallas_solve_ocp_qp,
-            interpret=jax.default_backend() == 'cpu')
+        # custom_vmap dispatch: called directly -> the fused batch-1 kernel
+        # (ops/pallas_ipm_riccati.py, real gains); under jax.vmap -> the
+        # lane-batched fleet kernel (ops/pallas_ipm_batch.py, NaN gains,
+        # trajectories only) when the workload is in scope, else a vmapped
+        # scan fallback.
+        from cheeta_mpc_tpu.ops.pallas_ipm_batch import make_fleet_qp_solver
+        fleet = make_fleet_qp_solver(
+            settings.ipm, interpret=jax.default_backend() == 'cpu')
+        qp_solve = lambda data, s: fleet(data)  # noqa: E731
     elif settings.qp_backend == 'riccati':
         qp_solve = solve_ocp_qp
     else:
