@@ -64,6 +64,15 @@ from jax.experimental.pallas import tpu as pltpu
 from cheeta_mpc_tpu.core.types import OcpQpData, OcpQpSolution, RiccatiGains
 
 LANE_B = 128  # problems per tile = TPU vector lane count
+
+
+def _r8(n: int) -> int:
+    """Round up to a multiple of 8 (the f32 sublane tile). Manual DMAs
+    of slices whose second-minor dim is NOT tile-aligned crash the TPU
+    worker (verified on v5e with a minimal probe); every manually
+    streamed array is therefore padded to _r8 on that dim and sliced
+    back after the copy."""
+    return -(-n // 8) * 8
 _BIG = 3.0e38  # inf stand-in for masked minima
 
 
@@ -179,63 +188,66 @@ def gj_inverse_b(M):
 
 def _fleet_kernel(M_hbm, Q_hbm, S_hbm, R_hbm, vec_hbm,
                   qN_ref, lg_ref, ug_ref, m_ref, dx0_ref, C_ref, D_ref,
-                  # outputs (K/G spills are HBM workspace, not consumed)
+                  # outputs
                   dx_o, du_o, sl_o, su_o, ll_o, lu_o, diag_o,
-                  Kspill, Gspill,
                   # scratch
                   dx_ref, du_ref, sl_ref, su_ref, ll_ref, lu_ref,
                   rl_ref, ru_ref, ln_ref, rc1_ref, rc2_ref,
                   gq_ref, gr_ref, rd_ref, Prd_ref, kv_ref,
                   ddx_ref, ddu_ref, dsl_ref, dsu_ref, dll_ref, dlu_ref,
-                  Pr_ref, Mb_ref, Qb_ref, Sb_ref, Rb_ref, vb_ref,
-                  Kb_ref, Gb_ref, sem,
+                  K_ref, Gi_ref, Pr_ref,
+                  M_ref, Q_ref, S_ref, R_ref, vec_ref, sem,
                   *, N, nx, nu, ng, iters, tau, mu0, s0_min, reg, w_max,
                   mu_tol):
+    """One 128-problem tile, everything VMEM-resident.
+
+    The measured v5e has ~100+ MB of usable VMEM (probed empirically; the
+    often-quoted 16 MB is only the compiler's conservative scoped default),
+    so the ENTIRE tile working set — QP data, iterate, slacks/duals, and
+    the per-stage Riccati factors — lives in VMEM for all IPM iterations.
+    HBM traffic is one stream of the problem data in and the solution out:
+    the design point PERF.md's round-4 roofline called lever 3. An earlier
+    revision streamed stage data and spilled K/G^{-1} to HBM to fit a 16 MB
+    budget; with the real budget that machinery (and its per-stage DMA
+    latency) is deleted.
+    """
     f32 = jnp.float32
-    t = pl.program_id(0)
     B = LANE_B
-    m = m_ref[0]  # (N+1, ng, B)
-    lg = lg_ref[0]
-    ug = ug_ref[0]
-    n_active = jnp.maximum(jnp.sum(m, axis=(0, 1)), 1.0)  # (B,)
-    eye_reg = reg * jnp.eye(nu, dtype=f32)[:, :, None]
+    t = pl.program_id(0)
 
-    def dma_M(k, slot):
-        return pltpu.make_async_copy(M_hbm.at[t, k], Mb_ref.at[slot],
-                                     sem.at[slot])
+    # One bulk DMA per data array per tile (single-buffered: blocked-input
+    # pipelining would double-buffer ~26 MB of tile data and blow the
+    # VMEM budget; a one-time ~30 us wait at tile start is cheaper).
+    for i, (src, dst) in enumerate(((M_hbm, M_ref), (Q_hbm, Q_ref),
+                                    (S_hbm, S_ref), (R_hbm, R_ref),
+                                    (vec_hbm, vec_ref))):
+        pltpu.make_async_copy(src.at[t], dst, sem.at[i]).start()
+    for i, (src, dst) in enumerate(((M_hbm, M_ref), (Q_hbm, Q_ref),
+                                    (S_hbm, S_ref), (R_hbm, R_ref),
+                                    (vec_hbm, vec_ref))):
+        pltpu.make_async_copy(src.at[t], dst, sem.at[i]).wait()
 
-    def copy_now(src_at, dst_ref):
-        cp = pltpu.make_async_copy(src_at, dst_ref, sem.at[2])
-        cp.start()
-        cp.wait()
+    def stage_M(k):
+        Mk = M_ref[k]
+        return Mk[:, :nx, :], Mk[:, nx:nx + nu, :]
 
-    def copy_out(src_ref, dst_at):
-        cp = pltpu.make_async_copy(src_ref, dst_at, sem.at[2])
-        cp.start()
-        cp.wait()
+    def stage_Q(k):
+        return Q_ref[k][:, :nx, :]
 
-    def sweep(reverse, body, carry):
-        """Double-buffered M stream over all N stages.
-        ``body(k, Mslice, carry) -> carry``."""
-        first = N - 1 if reverse else 0
-        dma_M(first, first % 2).start()
+    def stage_S(k):
+        return S_ref[k][:, :nx, :]
 
-        def step(i, c):
-            k = (N - 1 - i) if reverse else i
-            slot = jax.lax.rem(k, jnp.asarray(2, k.dtype))
-            dma_M(k, slot).wait()
-            nxt = k - 1 if reverse else k + 1
-            in_range = (nxt >= 0) & (nxt < N)
+    def stage_R(k):
+        return R_ref[k][:, :nu, :]
 
-            @pl.when(in_range)
-            def _():
-                dma_M(jnp.clip(nxt, 0, N - 1), 1 - slot).start()
-
-            return body(k, Mb_ref[slot], c)
-
-        return jax.lax.fori_loop(0, N, step, carry)
+    def stage_vec(k):
+        v = vec_ref[k]
+        return v[:nx], v[nx:2 * nx], v[2 * nx:2 * nx + nu]
 
     # ---- initialization (ocpqp.solve_ocp_qp init with zero iterate) --------
+    m = m_ref[0]
+    lg = lg_ref[0]
+    ug = ug_ref[0]
     sl0 = jnp.where(m > 0, jnp.maximum(-lg, s0_min), 1.0)
     su0 = jnp.where(m > 0, jnp.maximum(ug, s0_min), 1.0)
     sl_ref[...] = sl0
@@ -250,111 +262,95 @@ def _fleet_kernel(M_hbm, Q_hbm, S_hbm, R_hbm, vec_hbm,
     dlu_ref[...] = jnp.zeros((N + 1, ng, B), f32)
 
     # ---- stationarity sweep (ocpqp._stationarity_norm, nc = 0) -------------
-    # Evaluates the KKT input-space stationarity at (iterate + a * delta);
-    # streams Q/S/R/vec (the stepped point's gradient needs them) plus M.
     def stat_at(a):
+        m = m_ref[0]
         ln_ref[...] = m * ((lu_ref[...] + a * dlu_ref[...])
                            - (ll_ref[...] + a * dll_ref[...]))
-        copy_now(Q_hbm.at[t, N], Qb_ref)
         xN = dx_ref[N] + a * ddx_ref[N]
-        mu0_vec = (qN_ref[0] + mv_nn(Qb_ref[...], xN)
+        mu0_vec = (qN_ref[0] + mv_nn(stage_Q(N), xN)
                    + shared_mv_t(C_ref[N], ln_ref[N]))
 
-        def body(k, Mk, carry):
+        def body(i, carry):
+            k = N - 1 - i
             mu_next, smax = carry
-            copy_now(Q_hbm.at[t, k], Qb_ref)
-            copy_now(S_hbm.at[t, k], Sb_ref)
-            copy_now(R_hbm.at[t, k], Rb_ref)
-            copy_now(vec_hbm.at[t, k], vb_ref)
-            A = Mk[:, :nx, :]
-            Bm = Mk[:, nx:, :]
-            vb = vb_ref[...]
-            qv = vb[nx:2 * nx]
-            rv = vb[2 * nx:]
+            A, Bm = stage_M(k)
+            _, qv, rv = stage_vec(k)
             xk = dx_ref[k] + a * ddx_ref[k]
             uk = du_ref[k] + a * ddu_ref[k]
             lnk = ln_ref[k]
-            qbar = (qv + mv_nn(Qb_ref[...], xk) + mv_tn(Sb_ref[...], uk)
+            Sv = stage_S(k)
+            qbar = (qv + mv_nn(stage_Q(k), xk) + mv_tn(Sv, uk)
                     + shared_mv_t(C_ref[k], lnk))
-            gr = (rv + mv_nn(Rb_ref[...], uk) + mv_nn(Sb_ref[...], xk)
+            gr = (rv + mv_nn(stage_R(k), uk) + mv_nn(Sv, xk)
                   + shared_mv_t(D_ref[k], lnk))
             t_u = gr + mv_tn(Bm, mu_next)
             smax = jnp.maximum(smax, jnp.max(jnp.abs(t_u), axis=0))
             return (qbar + mv_tn(A, mu_next), smax)
 
-        _, smax = sweep(True, body, (mu0_vec, jnp.zeros((B,), f32)))
+        _, smax = jax.lax.fori_loop(0, N, body,
+                                    (mu0_vec, jnp.zeros((B,), f32)))
         return smax  # (B,)
 
     stat0 = stat_at(jnp.zeros((B,), f32))
 
     # ---- combined residual + gradient + factorization sweep ----------------
     def fact_sweep():
-        wN = m[N] * jnp.minimum(ll_ref[N] / sl_ref[N]
-                                + lu_ref[N] / su_ref[N], w_max)
-        copy_now(Q_hbm.at[t, N], Qb_ref)
-        QN = Qb_ref[...]
+        """Backward over stages: residuals (rl/ru rows, rd), pure gradients
+        gq/gr, barrier-augmented Riccati factorization with
+        Prd = P_{k+1} rd_k folded in (P rolls through one buffer)."""
+        wN = m_ref[0, N] * jnp.minimum(ll_ref[N] / sl_ref[N]
+                                       + lu_ref[N] / su_ref[N], w_max)
+        QN = stage_Q(N)
         gN = shared_mv(C_ref[N], dx_ref[N])
-        rl_ref[N] = gN - sl_ref[N] - lg[N]
-        ru_ref[N] = gN + su_ref[N] - ug[N]
+        rl_ref[N] = gN - sl_ref[N] - lg_ref[0, N]
+        ru_ref[N] = gN + su_ref[N] - ug_ref[0, N]
         gq_ref[N] = qN_ref[0] + mv_nn(QN, dx_ref[N])
         Pr_ref[...] = sym2(QN) + outer_acc(C_ref[N], wN)
 
-        def body(k, Mk, c):
-            A = Mk[:, :nx, :]
-            Bm = Mk[:, nx:, :]
-            copy_now(Q_hbm.at[t, k], Qb_ref)
-            copy_now(S_hbm.at[t, k], Sb_ref)
-            copy_now(R_hbm.at[t, k], Rb_ref)
-            copy_now(vec_hbm.at[t, k], vb_ref)
-            vb = vb_ref[...]
-            bv = vb[:nx]
-            qv = vb[nx:2 * nx]
-            rv = vb[2 * nx:]
+        def body(i, c):
+            k = N - 1 - i
+            A, Bm = stage_M(k)
+            Mk = M_ref[k]
+            bv, qv, rv = stage_vec(k)
             xk = dx_ref[k]
             uk = du_ref[k]
-            # Residuals.
             gk = shared_mv(C_ref[k], xk) + shared_mv(D_ref[k], uk)
-            # Per-stage rows via ref indexing (dynamic_slice on VALUES is
-            # not lowerable in Mosaic; dynamic ref indexing on untiled
-            # leading dims is).
             rl_ref[k] = gk - sl_ref[k] - lg_ref[0, k]
             ru_ref[k] = gk + su_ref[k] - ug_ref[0, k]
             rdk = mv_nn(A, xk) + mv_nn(Bm, uk) + bv - dx_ref[k + 1]
             rd_ref[k] = rdk
-            # Pure (lambda-independent) gradient parts.
-            gq_ref[k] = qv + mv_nn(Qb_ref[...], xk) + mv_tn(Sb_ref[...], uk)
-            gr_ref[k] = rv + mv_nn(Rb_ref[...], uk) + mv_nn(Sb_ref[...], xk)
-            # Barrier-augmented Riccati step.
-            wk = m_ref[0, k] * jnp.minimum(ll_ref[k] / sl_ref[k]
-                                    + lu_ref[k] / su_ref[k], w_max)
-            Qb = Qb_ref[...] + outer_acc(C_ref[k], wk)
-            Rb = Rb_ref[...] + outer_acc(D_ref[k], wk)
-            Sb = Sb_ref[...] + outer_acc2(D_ref[k], C_ref[k], wk)
+            Qv = stage_Q(k)
+            Sv = stage_S(k)
+            Rv = stage_R(k)
+            gq_ref[k] = qv + mv_nn(Qv, xk) + mv_tn(Sv, uk)
+            gr_ref[k] = rv + mv_nn(Rv, uk) + mv_nn(Sv, xk)
+            wk = m_ref[0, k] * jnp.minimum(
+                ll_ref[k] / sl_ref[k] + lu_ref[k] / su_ref[k], w_max)
+            Qb = Qv + outer_acc(C_ref[k], wk)
+            Rb = Rv + outer_acc(D_ref[k], wk)
+            Sb = Sv + outer_acc2(D_ref[k], C_ref[k], wk)
             P_next = Pr_ref[...]
             Prd_ref[k] = mv_nn(P_next, rdk)
-            PM = bmm_nn(P_next, Mk)  # (nx, nx+nu, B)
+            PM = bmm_nn(P_next, Mk)  # (nx, nxu_p, B); pad cols are zero
             PA = PM[:, :nx, :]
-            PB = PM[:, nx:, :]
-            G = Rb + bmm_tn(Bm, PB) + eye_reg
+            PB = PM[:, nx:nx + nu, :]
+            G = (Rb + bmm_tn(Bm, PB)
+                 + reg * jnp.eye(nu, dtype=f32)[:, :, None])
             Hk = Sb + bmm_tn(Bm, PA)
             Gi = gj_inverse_b(sym2(G))
             Kk = -bmm_nn(Gi, Hk)  # (nu, nx, B)
             Pk = Qb + bmm_tn(A, PA) + bmm_tn(Hk, Kk)
             Pr_ref[...] = sym2(Pk)
-            # Spill K / G^{-1} to HBM (~7 MB of VMEM they would otherwise
-            # pin); the Newton sweeps stream them back per stage. The
-            # round-trip is ~20 MB/iter/tile against ~1 ms of compute.
-            Kb_ref[...] = Kk
-            Gb_ref[...] = Gi
-            copy_out(Kb_ref, Kspill.at[t, k])
-            copy_out(Gb_ref, Gspill.at[t, k])
+            K_ref[k] = Kk
+            Gi_ref[k] = Gi
             return c
 
-        sweep(True, body, 0)
+        jax.lax.fori_loop(0, N, body, 0)
 
     # ---- Newton vector + forward passes against stored factors -------------
     def newton():
         """RHS in rc1/rc2. Writes ddx/ddu/dsl/dsu/dll/dlu (and kv)."""
+        m = m_ref[0]
         sl = sl_ref[...]
         su = su_ref[...]
         ll = ll_ref[...]
@@ -368,30 +364,26 @@ def _fleet_kernel(M_hbm, Q_hbm, S_hbm, R_hbm, vec_hbm,
 
         qbarN = gq_ref[N] + shared_mv_t(C_ref[N], ln_ref[N])
 
-        def bwd(k, Mk, p_next):
-            A = Mk[:, :nx, :]
-            Bm = Mk[:, nx:, :]
+        def bwd(i, p_next):
+            k = N - 1 - i
+            A, Bm = stage_M(k)
             qbar = gq_ref[k] + shared_mv_t(C_ref[k], ln_ref[k])
             rbar = gr_ref[k] + shared_mv_t(D_ref[k], ln_ref[k])
             mv = p_next + Prd_ref[k]
             rhs = rbar + mv_tn(Bm, mv)
-            copy_now(Kspill.at[t, k], Kb_ref)
-            copy_now(Gspill.at[t, k], Gb_ref)
-            kvk = -mv_nn(Gb_ref[...], rhs)
-            pk = qbar + mv_tn(A, mv) + mv_tn(Kb_ref[...], rhs)
+            kvk = -mv_nn(Gi_ref[k], rhs)
+            pk = qbar + mv_tn(A, mv) + mv_tn(K_ref[k], rhs)
             kv_ref[k] = kvk
             return pk
 
-        sweep(True, bwd, qbarN)
+        jax.lax.fori_loop(0, N, bwd, qbarN)
 
         ddx_ref[0] = dx0_ref[0] - dx_ref[0]
 
-        def fwd(k, Mk, c):
-            A = Mk[:, :nx, :]
-            Bm = Mk[:, nx:, :]
+        def fwd(k, c):
+            A, Bm = stage_M(k)
             xk = ddx_ref[k]
-            copy_now(Kspill.at[t, k], Kb_ref)
-            uk = mv_nn(Kb_ref[...], xk) + kv_ref[k]
+            uk = mv_nn(K_ref[k], xk) + kv_ref[k]
             ddu_ref[k] = uk
             ddx_ref[k + 1] = mv_nn(A, xk) + mv_nn(Bm, uk) + rd_ref[k]
             dgk = shared_mv(C_ref[k], xk) + shared_mv(D_ref[k], uk)
@@ -400,16 +392,17 @@ def _fleet_kernel(M_hbm, Q_hbm, S_hbm, R_hbm, vec_hbm,
             dsu_ref[k] = mk * (-dgk - ru_ref[k])
             return c
 
-        sweep(False, fwd, 0)
+        jax.lax.fori_loop(0, N, fwd, 0)
         dgN = shared_mv(C_ref[N], ddx_ref[N])
-        dsl_ref[N] = m[N] * (dgN + rl_ref[N])
-        dsu_ref[N] = m[N] * (-dgN - ru_ref[N])
+        dsl_ref[N] = m_ref[0, N] * (dgN + rl_ref[N])
+        dsu_ref[N] = m_ref[0, N] * (-dgN - ru_ref[N])
         dll_ref[...] = (-m * (rc1_ref[...] + ll_ref[...] * dsl_ref[...])
                         / sl_ref[...])
         dlu_ref[...] = (-m * (rc2_ref[...] + lu_ref[...] * dsu_ref[...])
                         / su_ref[...])
 
     def max_step(v, dv):
+        m = m_ref[0]
         ratio = jnp.where((dv < 0) & (m > 0),
                           -tau * v / jnp.minimum(dv, -1e-30), _BIG)
         return jnp.minimum(1.0, jnp.min(ratio, axis=(0, 1)))  # (B,)
@@ -418,6 +411,8 @@ def _fleet_kernel(M_hbm, Q_hbm, S_hbm, R_hbm, vec_hbm,
     def ipm_iter(it, carry):
         stat_old, _ = carry
         fact_sweep()
+        m = m_ref[0]
+        n_active = jnp.maximum(jnp.sum(m, axis=(0, 1)), 1.0)  # (B,)
         sl = sl_ref[...]
         su = su_ref[...]
         ll = ll_ref[...]
@@ -512,12 +507,20 @@ def solve_ocp_qp_fleet(data: OcpQpData, settings=None,
     mu_tol = settings.mu_tol if settings.mu_tol > 0 else 1e-4
     w_max = min(settings.w_max, 1e6)
 
-    M = _tile(jnp.concatenate([dyn.A, dyn.B], axis=-1).astype(f32), T)
-    Q = _tile(cost.Q.astype(f32), T)
-    S = _tile(cost.S.astype(f32), T)
-    R = _tile(cost.R.astype(f32), T)
-    vec = _tile(jnp.concatenate(
-        [dyn.b, cost.q[:, :-1], cost.r], axis=-1).astype(f32), T)
+    nxu = nx + nu
+    nxu_p, nx_p, nu_p = _r8(nxu), _r8(nx), _r8(nu)
+
+    def pad_last(x, to):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])])
+
+    M = _tile(pad_last(jnp.concatenate([dyn.A, dyn.B], axis=-1),
+                       nxu_p).astype(f32), T)
+    Q = _tile(pad_last(cost.Q, nx_p).astype(f32), T)
+    S = _tile(pad_last(cost.S, nx_p).astype(f32), T)
+    R = _tile(pad_last(cost.R, nu_p).astype(f32), T)
+    vec = _tile(pad_last(jnp.concatenate(
+        [dyn.b, cost.q[:, :-1], cost.r], axis=-1),
+        _r8(2 * nx + nu)).astype(f32), T)
     qN = _tile(cost.q[:, -1].astype(f32), T)
     lg = _tile(con.lg.astype(f32), T)
     ug = _tile(con.ug.astype(f32), T)
@@ -533,7 +536,7 @@ def solve_ocp_qp_fleet(data: OcpQpData, settings=None,
         w_max=float(w_max), mu_tol=float(mu_tol))
 
     B = LANE_B
-    nv = 2 * nx + nu
+    nv_p = _r8(2 * nx + nu)
 
     def blk(shape):
         return pl.BlockSpec((1,) + shape,
@@ -555,8 +558,6 @@ def solve_ocp_qp_fleet(data: OcpQpData, settings=None,
         blk((N + 1, ng, B)), blk((N + 1, ng, B)),
         blk((N + 1, ng, B)), blk((N + 1, ng, B)),
         blk((2, B)),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
     )
     out_shape = (
         jax.ShapeDtypeStruct((T, N + 1, nx, B), f32),  # dx
@@ -566,8 +567,6 @@ def solve_ocp_qp_fleet(data: OcpQpData, settings=None,
         jax.ShapeDtypeStruct((T, N + 1, ng, B), f32),  # lam_l
         jax.ShapeDtypeStruct((T, N + 1, ng, B), f32),  # lam_u
         jax.ShapeDtypeStruct((T, 2, B), f32),  # [mu, stat]
-        jax.ShapeDtypeStruct((T, N, nu, nx, B), f32),  # K spill (workspace)
-        jax.ShapeDtypeStruct((T, N, nu, nu, B), f32),  # Gi spill (workspace)
     )
     scratch = [
         pltpu.VMEM((N + 1, nx, B), f32),  # dx
@@ -592,27 +591,26 @@ def solve_ocp_qp_fleet(data: OcpQpData, settings=None,
         pltpu.VMEM((N + 1, ng, B), f32),  # ds_u
         pltpu.VMEM((N + 1, ng, B), f32),  # dlam_l
         pltpu.VMEM((N + 1, ng, B), f32),  # dlam_u
+        pltpu.VMEM((N, nu, nx, B), f32),  # K (VMEM-resident)
+        pltpu.VMEM((N, nu, nu, B), f32),  # Ginv (VMEM-resident)
         pltpu.VMEM((nx, nx, B), f32),  # P roll
-        pltpu.VMEM((2, nx, nx + nu, B), f32),  # M double buffer
-        pltpu.VMEM((nx, nx, B), f32),  # Q stage buffer
-        pltpu.VMEM((nu, nx, B), f32),  # S stage buffer
-        pltpu.VMEM((nu, nu, B), f32),  # R stage buffer
-        pltpu.VMEM((nv, B), f32),  # vec stage buffer
-        pltpu.VMEM((nu, nx, B), f32),  # K stage buffer
-        pltpu.VMEM((nu, nu, B), f32),  # Ginv stage buffer
-        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.VMEM((N, nx, nxu_p, B), f32),  # M (full tile, resident)
+        pltpu.VMEM((N + 1, nx, nx_p, B), f32),  # Q
+        pltpu.VMEM((N, nu, nx_p, B), f32),  # S
+        pltpu.VMEM((N, nu, nu_p, B), f32),  # R
+        pltpu.VMEM((N, nv_p, B), f32),  # vec
+        pltpu.SemaphoreType.DMA((5,)),
     ]
-    (dx_t, du_t, sl_t, su_t, ll_t, lu_t, diag_t, _, _) = pl.pallas_call(
+    (dx_t, du_t, sl_t, su_t, ll_t, lu_t, diag_t) = pl.pallas_call(
         kern,
         grid=(T,),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
-        # The declared buffers are ~13 MB but Mosaic's stack for the
-        # unrolled per-stage chains pushes peak scoped VMEM to ~30 MB —
-        # above the compiler's conservative 16 MB default, well inside the
-        # chip's physical VMEM. Raise the scoped limit accordingly.
+        # ~60 MB peak (double-buffered tile data blocks + resident factors
+        # + Mosaic stack) — far above the compiler's conservative 16 MB
+        # scoped default, comfortably inside the chip's measured VMEM.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -631,10 +629,7 @@ def solve_ocp_qp_fleet(data: OcpQpData, settings=None,
     from cheeta_mpc_tpu.ops.riccati import bmv
     mcast = con.mask.astype(f32)
     du_pad = jnp.concatenate([du, jnp.zeros_like(du[:, :1])], axis=1)
-    g = (jnp.einsum('ngx,bngx->bng', Cs, dx[:, :, None, :]
-                    * jnp.ones((1, 1, 1, 1), f32))
-         if False else
-         jnp.einsum('ngi,bni->bng', Cs, dx)
+    g = (jnp.einsum('ngi,bni->bng', Cs, dx)
          + jnp.einsum('ngi,bni->bng', Ds, du_pad))
     viol = jnp.maximum(con.lg - g, g - con.ug)
     ineq_res = jnp.max(jnp.where(mcast > 0, viol, 0.0), axis=(1, 2))
