@@ -221,6 +221,32 @@ def main():
     flops_per_solve = centroidal_solve_flops(horizon, 33, 24, 32, 2, 10)
     mfu = batch * flops_per_solve / dev_batch_s / V5E_PEAK_FLOPS
 
+    # ---- batched FLEET kernel (lane-batched Pallas IPM) --------------------
+    # The round-5 roofline lever (PERF.md levers 2+3): 128 problems per
+    # VMEM-resident tile, batch on the vector lanes. Same SQP wrapper; the
+    # custom_vmap dispatch swaps the QP executor under vmap.
+    fleet_one = build_centroidal_solver(
+        cfg, ScpSettings(iterations=2, ipm=IpmSettings(iters=10),
+                         qp_backend='riccati_pallas'))
+    fleet_b = jax.jit(jax.vmap(fleet_one))
+    force_fleet = np.asarray(fleet_b(*args_b).contact_force)
+    print("# fleet kernel compiled", flush=True)
+    dog.pet("fleet kernel")
+    assert np.isfinite(force_fleet).all()
+    # Cross-executor oracle: fleet kernel vs the 'high' scan on the WHOLE
+    # batch (threshold ~3x the measured executor difference).
+    ferr = np.abs(force_fleet - force).max()
+    assert ferr < 0.05, f"fleet kernel vs scan GRF mismatch: {ferr} N"
+    fn_fleet = jax.vmap(lambda s, d, i: fleet_one(s, d, i).contact_force)
+    dev_fleet_s = device_time_per_call(fn_fleet, args_b, k_small=2, k_big=8)
+    print(f"# fleet device-time done: {dev_fleet_s*1e3:.1f} ms", flush=True)
+    dog.pet("fleet device time")
+    fleet_sps = batch / dev_fleet_s
+    fleet_wall_p50, _ = _percentiles(
+        lambda *a: fleet_b(*a).contact_force, args_b, 10)
+    fleet_wall_sps = batch / (fleet_wall_p50 / 1e3)
+    mfu_fleet = batch * flops_per_solve / dev_fleet_s / V5E_PEAK_FLOPS
+
     # ---- batch-1 cold latency ----------------------------------------------
     # The real-time path uses the fused Riccati-structured IPM Pallas kernel
     # (ops/pallas_ipm_riccati.py): the whole fixed-iteration Mehrotra loop is
@@ -410,11 +436,19 @@ def main():
     fz_tot = force[:, :, 2, :].sum(axis=1)
     assert (np.abs(fz_tot - 78.48) < 0.5 * 78.48).all(), "weight support off"
 
+    # Headline = the better of the two batched executors by wall clock.
+    head_sps = max(solves_per_s, fleet_wall_sps)
     result = {
         "metric": f"centroidal_mpc_solves_per_s_chip_N{horizon}",
-        "value": round(solves_per_s, 1),
+        "value": round(head_sps, 1),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 625.0, 3),
+        "vs_baseline": round(head_sps / 625.0, 3),
+        "scan_wall_solves_per_s": round(solves_per_s, 1),
+        "fleet_wall_solves_per_s": round(fleet_wall_sps, 1),
+        "fleet_device_ms": round(dev_fleet_s * 1e3, 2),
+        "fleet_device_solves_per_s": round(fleet_sps, 1),
+        "fleet_mfu_pct": round(100.0 * mfu_fleet, 3),
+        "fleet_vs_scan_grf_err_N": round(float(ferr), 4),
         "batch": batch,
         "batch_latency_ms": round(dt_s * 1e3, 3),
         "batch_device_ms": round(dev_batch_s * 1e3, 2),
