@@ -421,7 +421,33 @@ def main():
     # p50 of per-rep batch latency (not a plain mean): robust to the known
     # large transport variance of the axon relay.
     lb_p50, _ = _percentiles(lambda *a: lsolve_b(*a).forces, bargs, 9)
-    leg_batch_sps = lbatch / (lb_p50 / 1e3)
+    leg_batch_scan_sps = lbatch / (lb_p50 / 1e3)
+
+    # ---- batched legged via the FLEET eq-Riccati kernel (round 5) ----------
+    # eq_backend='pallas' under vmap dispatches the lane-batched streaming
+    # kernel (ops/pallas_eq_batch.py): the N=67 QP drops 83.6 -> 1.2 ms
+    # device per 512-batch (68x); end-to-end the solver is then bound by
+    # the XLA linearization/line-search fusions (PERF.md round-5 section).
+    # Sweet spot is ONE 128-lane tile per solve call.
+    lbatch_f = 128
+    lsolve_bf_nj = jax.vmap(build_legged_solver(
+        lcfg, ScpSettings(iterations=1, ipm=IpmSettings(eq_backend='pallas'),
+                          matmul_precision='high')))
+    lsolve_bf = jax.jit(lambda *a: lsolve_bf_nj(*a).forces)
+    bargs_f = tuple(a[:lbatch_f] for a in bargs)
+    lff = np.asarray(lsolve_bf(*bargs_f))
+    dog.pet("batched legged fleet")
+    assert np.isfinite(lff).all()
+    # Whole-tile cross-executor oracle vs the scan batch (same scenarios).
+    flerr = np.abs(lff - lfb[:lbatch_f]).max()
+    assert flerr < 0.2, f"fleet eq kernel vs scan forces: {flerr} N"
+    lbf_p50, _ = _percentiles(lambda *a: lsolve_bf(*a), bargs_f, 9)
+    leg_fleet_wall_sps = lbatch_f / (lbf_p50 / 1e3)
+    dev_legb_s = device_time_per_call(
+        lambda *a: lsolve_bf_nj(*a).forces, bargs_f, k_small=2, k_big=8)
+    leg_fleet_dev_sps = lbatch_f / dev_legb_s
+    dog.pet("batched legged fleet device time")
+    leg_batch_sps = max(leg_batch_scan_sps, leg_fleet_wall_sps)
 
     # ---- on-TPU f32 structural tier ----------------------------------------
     # Swing legs carry exactly zero force (structural gating).
@@ -473,9 +499,15 @@ def main():
         "pyr_kernel_vs_scan_err_N": round(float(perr), 4),
         "legged_solves_per_s_chip_N67": round(1000.0 / leg_p50, 1),
         "legged_batch_solves_per_s_chip_N67": round(leg_batch_sps, 1),
+        "legged_batch_scan_solves_per_s": round(leg_batch_scan_sps, 1),
+        "legged_fleet_wall_solves_per_s": round(leg_fleet_wall_sps, 1),
+        "legged_fleet_device_ms": round(dev_legb_s * 1e3, 2),
+        "legged_fleet_device_solves_per_s": round(leg_fleet_dev_sps, 1),
+        "legged_fleet_batch": lbatch_f,
         "legged_batch": lbatch,
         "kernel_vs_scan_grf_err_N": round(float(kerr), 4),
         "eq_kernel_vs_scan_force_err_N": round(float(lerr), 4),
+        "eq_fleet_vs_scan_force_err_N": round(float(flerr), 4),
         "f32_tier": "pass",
         "tpu_selftest": "pass",
         "device": str(jax.devices()[0]),

@@ -182,10 +182,15 @@ def solve_ocp_qp(data: OcpQpData,
         if settings.eq_backend == 'pallas' and dt != jnp.float64:
             import jax as _jax
 
-            from cheeta_mpc_tpu.ops.pallas_riccati import pallas_solve_eq_lqr
-            return pallas_solve_eq_lqr(
-                data, reg=settings.reg,
-                interpret=_jax.default_backend() == 'cpu')
+            # custom_vmap dispatch: called directly -> the fused batch-1
+            # kernel (ops/pallas_riccati.py, real P/p); under jax.vmap ->
+            # the lane-batched streaming fleet kernel
+            # (ops/pallas_eq_batch.py, real K/k, NaN P/p) so the batched
+            # legged path avoids the tile-padded scan chain.
+            from cheeta_mpc_tpu.ops.pallas_eq_batch import make_fleet_eq_solver
+            return make_fleet_eq_solver(
+                reg=float(settings.reg),
+                interpret=_jax.default_backend() == 'cpu')(data)
         from cheeta_mpc_tpu.ops.riccati import solve_eq_lqr
         return solve_eq_lqr(data, reg=settings.reg)
     if data.eq is None:

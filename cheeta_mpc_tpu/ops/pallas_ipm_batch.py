@@ -191,12 +191,13 @@ def gj_inverse_b(M):
     for j in range(n):
         pivot = Ag[j:j + 1, j:j + 1, :]  # (1, 1, B)
         row_j = Ag[j:j + 1] / pivot  # (1, 2n, B)
-        col_j = Ag[:, j:j + 1, :]  # (n, 1, B)
-        # Eliminate column j everywhere; the update zeroes row j itself
-        # (col_j[j] = pivot), so add the scaled pivot row back with a
-        # one-hot mask (a .at[j].set would lower to an unsupported scatter).
-        Ag = Ag - col_j * row_j
-        Ag = Ag + jnp.reshape(one_hot[:, j:j + 1], (n, 1, 1)) * row_j
+        # One-hot-shifted pivot column: the single elimination FMA also
+        # lands row j on the normalized pivot row (no scatter, no separate
+        # add-back op; ops/pallas_riccati._gj_inverse has the rounding
+        # note — rows i != j are bitwise unchanged).
+        colm = (Ag[:, j:j + 1, :]
+                - jnp.reshape(one_hot[:, j:j + 1], (n, 1, 1)))  # (n, 1, B)
+        Ag = Ag - colm * row_j
     X = Ag[:, n:, :]
     return s_col * X * s_row
 

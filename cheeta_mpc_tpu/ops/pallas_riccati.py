@@ -48,7 +48,14 @@ def _gj_inverse(M):
     elimination arithmetic), but each pivot step is 4 vector ops instead of
     ~10 (no iota-mask selections, no reductions, no dynamic loop) — the
     per-stage SPD inverses are the longest sequential chains in the fused
-    kernels, so this shortens batch-1 latency directly."""
+    kernels, so this shortens batch-1 latency directly.
+
+    The separate add-the-pivot-row-back step is deliberate here (vs the
+    fused one-hot-shifted column of :func:`_gj_inverse_shifted`): with
+    UNscaled pivots, ``pivot - 1`` absorbs the 1 once |pivot| >> 1 and
+    row j degrades — measured 3x worse on the near-singular synthetic
+    N=67 oracle. Equilibrated callers have O(1) pivots and take the
+    shifted variant."""
     n = M.shape[0]
     dt = M.dtype
     eye = jnp.eye(n, dtype=dt)
@@ -61,6 +68,24 @@ def _gj_inverse(M):
         # (col_j[j] = pivot), so add the scaled pivot row back.
         A = A - col_j * row_j
         A = A + eye[:, j:j + 1] * row_j
+    return A[:, n:]
+
+
+def _gj_inverse_shifted(M):
+    """Gauss-Jordan with the one-hot-shifted pivot column: 3 wide vector
+    ops per pivot instead of 5 (divide, multiply, subtract; the add-back
+    is folded into the elimination FMA by subtracting e_j from the pivot
+    column first, which lands row j on the normalized pivot row). Only
+    safe on EQUILIBRATED matrices (pivots O(1)) — see _gj_inverse."""
+    n = M.shape[0]
+    dt = M.dtype
+    eye = jnp.eye(n, dtype=dt)
+    A = jnp.concatenate([M, eye], axis=1)  # (n, 2n)
+    for j in range(n):
+        pivot = A[j:j + 1, j:j + 1]  # (1, 1)
+        row_j = A[j:j + 1] / pivot  # (1, 2n)
+        colm = A[:, j:j + 1] - eye[:, j:j + 1]  # (n, 1)
+        A = A - colm * row_j
     return A[:, n:]
 
 
@@ -85,7 +110,8 @@ def spd_inverse_kernel(M, n, precision=None):
     eye = jnp.eye(n, dtype=dt)
     d = jnp.sum(M * eye, axis=1, keepdims=True)  # (n, 1) diagonal
     s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
-    X = _gj_inverse(s * M * s.T)
+    # Equilibrated pivots are O(1), so the 3-op shifted-column GJ is safe.
+    X = _gj_inverse_shifted(s * M * s.T)
     return s * X * s.T  # undo equilibration
 
 

@@ -156,3 +156,38 @@ def test_compiled_fleet_kernel_vs_scan(tpu_device):
     assert np.isfinite(gk).all()
     err = np.abs(gk - gs).max()
     assert err < 0.05, f"compiled fleet kernel vs scan GRF: {err} N"
+
+
+def test_compiled_eq_fleet_kernel_vs_scan(tpu_device):
+    """The lane-batched streaming eq-Riccati fleet kernel (round 5,
+    ops/pallas_eq_batch.py), compiled, at reference scale N=67 x LANE_B
+    scenarios, against the vmapped scan backend."""
+    from cheeta_mpc_tpu.mpc.legged_mpc import (LeggedMpcConfig,
+                                               build_legged_solver)
+    from cheeta_mpc_tpu.ops.ocpqp import IpmSettings
+    from cheeta_mpc_tpu.ops.pallas_eq_batch import LANE_B
+    from cheeta_mpc_tpu.solvers.scp import ScpSettings
+    lcfg = LeggedMpcConfig.from_task_info(
+        "/root/reference/ocs2_legged_robot/config/mpc/task.info",
+        cone_mode='soft', dtype=jnp.float32)
+    N = lcfg.horizon
+    x0, x_ref, enable, zp, zv = _legged_args(N)
+    batch = LANE_B
+    rng = np.random.default_rng(0)
+    x0b = np.tile(np.asarray(x0), (batch, 1)).astype(np.float32)
+    x0b[:, 0] += 0.05 * rng.standard_normal(batch)
+    bargs = (jnp.asarray(x0b),
+             jnp.broadcast_to(x_ref, (batch,) + x_ref.shape),
+             jnp.broadcast_to(enable, (batch,) + enable.shape),
+             jnp.broadcast_to(zp, (batch,) + zp.shape),
+             jnp.broadcast_to(zv, (batch,) + zv.shape))
+    f_f = jax.jit(jax.vmap(build_legged_solver(lcfg, ScpSettings(
+        iterations=1, ipm=IpmSettings(eq_backend='pallas')))))
+    f_s = jax.jit(jax.vmap(build_legged_solver(lcfg, ScpSettings(
+        iterations=1, ipm=IpmSettings(eq_backend='scan'),
+        matmul_precision='high'))))
+    fk = np.asarray(f_f(*bargs).forces)
+    fs = np.asarray(f_s(*bargs).forces)
+    assert np.isfinite(fk).all()
+    err = np.abs(fk - fs).max()
+    assert err < 0.2, f"compiled eq-fleet kernel vs scan forces: {err} N"
